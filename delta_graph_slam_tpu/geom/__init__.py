@@ -27,6 +27,10 @@ from .se3 import (
     transform_3d_to_2d,
     se3_inverse,
     se3_apply,
+    so3_exp,
+    so3_log,
+    se3_exp,
+    se3_log,
 )
 from .projection import (
     EARTH_RADIUS_M,
@@ -41,6 +45,7 @@ __all__ = [
     "se3_matrix", "quat_to_rot", "rot_to_quat", "euler_xyz_from_rot",
     "normalize_euler_angs", "yaw_from_rot", "transform_2d_to_3d",
     "transform_3d_to_2d", "se3_inverse", "se3_apply",
+    "so3_exp", "so3_log", "se3_exp", "se3_log",
     "EARTH_RADIUS_M", "mercator_from_gps", "gps_from_mercator",
     "interpolate_segment",
 ]

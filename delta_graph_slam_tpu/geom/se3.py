@@ -104,6 +104,92 @@ def se3_apply(T, pts):
     return pts @ jnp.swapaxes(R, -1, -2) + t
 
 
+def _skew(w):
+    z = jnp.zeros_like(w[..., 0])
+    return jnp.stack(
+        [
+            jnp.stack([z, -w[..., 2], w[..., 1]], -1),
+            jnp.stack([w[..., 2], z, -w[..., 0]], -1),
+            jnp.stack([-w[..., 1], w[..., 0], z], -1),
+        ],
+        axis=-2,
+    )
+
+
+def so3_exp(w):
+    """Rodrigues: rotation vector (...,3) -> rotation matrix (...,3,3)."""
+    w = jnp.asarray(w)
+    th = jnp.linalg.norm(w, axis=-1)
+    small = th < 1e-8
+    th_safe = jnp.where(small, jnp.ones_like(th), th)
+    A = jnp.where(small, 1.0 - th * th / 6.0, jnp.sin(th_safe) / th_safe)
+    B = jnp.where(small, 0.5 - th * th / 24.0, (1.0 - jnp.cos(th_safe)) / th_safe**2)
+    K = _skew(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    return eye + A[..., None, None] * K + B[..., None, None] * (K @ K)
+
+
+def so3_log(R):
+    """Rotation matrix (...,3,3) -> rotation vector (...,3)."""
+    R = jnp.asarray(R)
+    tr = jnp.trace(R, axis1=-2, axis2=-1)
+    cos = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+    th = jnp.arccos(cos)
+    small = th < 1e-6
+    th_safe = jnp.where(small, jnp.ones_like(th), th)
+    factor = jnp.where(small, 0.5 + th * th / 12.0, th_safe / (2.0 * jnp.sin(th_safe)))
+    vee = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    # NB: near th = pi the vee form degrades; adequate for incremental updates.
+    return factor[..., None] * vee
+
+
+def se3_exp(xi):
+    """xi (...,6) = [v, w] -> homogeneous (...,4,4)."""
+    xi = jnp.asarray(xi)
+    v, w = xi[..., :3], xi[..., 3:]
+    th = jnp.linalg.norm(w, axis=-1)
+    small = th < 1e-8
+    th_safe = jnp.where(small, jnp.ones_like(th), th)
+    B = jnp.where(small, 0.5 - th * th / 24.0, (1.0 - jnp.cos(th_safe)) / th_safe**2)
+    C = jnp.where(small, 1.0 / 6.0 - th * th / 120.0, (th_safe - jnp.sin(th_safe)) / th_safe**3)
+    K = _skew(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), K.shape)
+    V = eye + B[..., None, None] * K + C[..., None, None] * (K @ K)
+    R = so3_exp(w)
+    t = (V @ v[..., None])[..., 0]
+    return se3_matrix(R, t)
+
+
+def se3_log(T):
+    """Homogeneous (...,4,4) -> xi (...,6) = [v, w]."""
+    T = jnp.asarray(T)
+    w = so3_log(T[..., :3, :3])
+    th = jnp.linalg.norm(w, axis=-1)
+    small = th < 1e-6
+    th_safe = jnp.where(small, jnp.ones_like(th), th)
+    half = th_safe / 2.0
+    cot_term = jnp.where(
+        small, 1.0 - th * th / 12.0, half * jnp.cos(half) / jnp.sin(half)
+    )
+    K = _skew(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    th2_safe = jnp.where(small, jnp.ones_like(th), th * th)
+    Vinv = (
+        eye
+        - 0.5 * K
+        + ((1.0 - cot_term) / th2_safe)[..., None, None] * (K @ K)
+    )
+    v = (Vinv @ T[..., :3, 3:4])[..., 0]
+    return jnp.concatenate([v, w], axis=-1)
+
+
 def euler_xyz_from_rot(R):
     """Extract Tait-Bryan angles (a,b,c) with R = Rx(a) @ Ry(b) @ Rz(c).
 

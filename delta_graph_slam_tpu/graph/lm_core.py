@@ -1,0 +1,251 @@
+"""Generic block-sparse Levenberg-Marquardt machinery.
+
+Shared by the SE2 (3-dim blocks) and SE3 (6-dim unified pose/plane/point
+blocks) solvers. The Hessian is never materialized in the 'cg' backend:
+H x = sum_e J_e^T W_e J_e x runs as gather -> DxD matmuls -> segment-sum,
+with block-Jacobi preconditioned CG. A 'dense' backend assembles (N*D, N*D)
+for small graphs and verification.
+
+LM schedule follows g2o's OptimizationAlgorithmLevenberg: initial lambda =
+tau * max diag(H); accept/reject by chi2 with gain-ratio lambda updates.
+"""
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    backend: str = "cg"          # 'cg' | 'dense'
+    max_iterations: int = 100    # LM outer iterations (early-stopped)
+    cg_max_iters: int = 250
+    cg_rtol: float = 1e-8
+    lm_tau: float = 1e-5
+    min_edges: int = 10          # g2o facade skips tiny graphs (graph_slam.cpp:340)
+    chi2_rel_tol: float = 1e-10
+    dx_tol: float = 1e-12
+
+
+class SolverStats(NamedTuple):
+    chi2_initial: jnp.ndarray
+    chi2_final: jnp.ndarray
+    iterations: jnp.ndarray
+    lambda_final: jnp.ndarray
+    num_active_edges: jnp.ndarray
+
+
+class LinSys(NamedTuple):
+    """Unified padded block edge table (unary edges have Jj = 0, j = i)."""
+
+    i: jnp.ndarray    # (E,)
+    j: jnp.ndarray    # (E,)
+    r: jnp.ndarray    # (E,D)
+    Ji: jnp.ndarray   # (E,D,D)
+    Jj: jnp.ndarray   # (E,D,D)
+    W: jnp.ndarray    # (E,D,D) robust-weighted information (0 if inactive)
+
+
+def pad_block(r, Ji, Jj, W, rdim, D):
+    """Pad an rdim-residual edge family to DxD blocks."""
+    E = r.shape[0]
+    dtype = r.dtype
+    r = r.reshape(E, rdim)
+    Ji = Ji.reshape(E, rdim, -1)
+    di = Ji.shape[-1]
+    rD = jnp.zeros((E, D), dtype).at[:, :rdim].set(r)
+    JiD = jnp.zeros((E, D, D), dtype).at[:, :rdim, :di].set(Ji)
+    if Jj is None:
+        JjD = jnp.zeros((E, D, D), dtype)
+    else:
+        Jj = Jj.reshape(E, rdim, -1)
+        dj = Jj.shape[-1]
+        JjD = jnp.zeros((E, D, D), dtype).at[:, :rdim, :dj].set(Jj)
+    WD = jnp.zeros((E, D, D), dtype).at[:, :rdim, :rdim].set(
+        W.reshape(E, rdim, rdim)
+    )
+    return rD, JiD, JjD, WD
+
+
+def concat_sys(parts):
+    return LinSys(*(jnp.concatenate([p[k] for p in parts]) for k in range(6)))
+
+
+def gradient(sys: LinSys, N):
+    """b = sum J^T W r, scattered per vertex. Returns (N,D)."""
+    Wr = (sys.W @ sys.r[..., None])[..., 0]
+    bi = (jnp.swapaxes(sys.Ji, 1, 2) @ Wr[..., None])[..., 0]
+    bj = (jnp.swapaxes(sys.Jj, 1, 2) @ Wr[..., None])[..., 0]
+    b = jax.ops.segment_sum(bi, sys.i, num_segments=N)
+    return b + jax.ops.segment_sum(bj, sys.j, num_segments=N)
+
+
+def diag_blocks(sys: LinSys, N):
+    """Block-diagonal of H. Returns (N,D,D)."""
+    WJi = sys.W @ sys.Ji
+    WJj = sys.W @ sys.Jj
+    Dii = jnp.swapaxes(sys.Ji, 1, 2) @ WJi
+    Djj = jnp.swapaxes(sys.Jj, 1, 2) @ WJj
+    Db = jax.ops.segment_sum(Dii, sys.i, num_segments=N)
+    return Db + jax.ops.segment_sum(Djj, sys.j, num_segments=N)
+
+
+def matvec(sys: LinSys, x, free, lam):
+    """(H + lam I) x with per-dim free-mask projection. x, free: (N,D)."""
+    xf = x * free
+    yi = (sys.Ji @ xf[sys.i][..., None])[..., 0]
+    yj = (sys.Jj @ xf[sys.j][..., None])[..., 0]
+    Wy = (sys.W @ (yi + yj)[..., None])[..., 0]
+    zi = (jnp.swapaxes(sys.Ji, 1, 2) @ Wy[..., None])[..., 0]
+    zj = (jnp.swapaxes(sys.Jj, 1, 2) @ Wy[..., None])[..., 0]
+    z = jax.ops.segment_sum(zi, sys.i, num_segments=x.shape[0])
+    z = z + jax.ops.segment_sum(zj, sys.j, num_segments=x.shape[0])
+    return (z + lam * xf) * free
+
+
+def block_jacobi_inverse(Dblocks, free, lam):
+    """Inverse of (diag blocks + lam I) with masked dims neutralized."""
+    D = Dblocks.shape[-1]
+    eye = jnp.eye(D, dtype=Dblocks.dtype)
+    # masked dims -> identity rows/cols so the inverse exists
+    fm = free[..., None] * free[..., None, :]
+    A = Dblocks * fm + (1.0 - fm) * eye + lam * eye
+    Minv = jnp.linalg.inv(A)
+    return Minv * fm
+
+
+def cg_solve(sys: LinSys, b, free, lam, Minv, max_iters, rtol):
+    """Block-Jacobi preconditioned CG on (H + lam I) x = b."""
+    bf = b * free
+    bnorm2 = jnp.sum(bf * bf)
+    tol2 = rtol * rtol * jnp.maximum(bnorm2, 1e-30)
+
+    def apply_Minv(r):
+        return (Minv @ r[..., None])[..., 0] * free
+
+    x0 = jnp.zeros_like(b)
+    r0 = bf
+    z0 = apply_Minv(r0)
+    rz0 = jnp.sum(r0 * z0)
+
+    def cond(state):
+        _, r, _, _, k = state
+        return (jnp.sum(r * r) > tol2) & (k < max_iters)
+
+    def body(state):
+        x, r, p, rz, k = state
+        Ap = matvec(sys, p, free, lam)
+        pAp = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = apply_Minv(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+        p = z + beta * p
+        return x, r, p, rz_new, k + 1
+
+    x, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, rz0, jnp.asarray(0, jnp.int32))
+    )
+    return x
+
+
+def dense_solve(sys: LinSys, b, free, lam):
+    """Materialized (N*D, N*D) solve for small graphs / verification."""
+    N, D = b.shape
+    dtype = b.dtype
+    WJi = sys.W @ sys.Ji
+    WJj = sys.W @ sys.Jj
+    Hii = jnp.swapaxes(sys.Ji, 1, 2) @ WJi
+    Hij = jnp.swapaxes(sys.Ji, 1, 2) @ WJj
+    Hji = jnp.swapaxes(sys.Jj, 1, 2) @ WJi
+    Hjj = jnp.swapaxes(sys.Jj, 1, 2) @ WJj
+    H = jnp.zeros((N * D, N * D), dtype)
+    a = jnp.arange(D)
+
+    def rows(v):
+        return D * v[:, None, None] + a[None, :, None]
+
+    def cols(v):
+        return D * v[:, None, None] + a[None, None, :]
+
+    H = H.at[rows(sys.i), cols(sys.i)].add(Hii)
+    H = H.at[rows(sys.i), cols(sys.j)].add(Hij)
+    H = H.at[rows(sys.j), cols(sys.i)].add(Hji)
+    H = H.at[rows(sys.j), cols(sys.j)].add(Hjj)
+    freev = free.reshape(-1)
+    H = H * freev[:, None] * freev[None, :] + jnp.diag(
+        jnp.where(freev > 0, lam, 1.0)
+    )
+    bf = b.reshape(-1) * freev
+    x = jnp.linalg.solve(H, bf)
+    return x.reshape(N, D) * free
+
+
+def lm_optimize(linearize_fn, chi2_fn, apply_fn, state0, free, cfg: SolverConfig):
+    """Generic robust LM loop.
+
+    linearize_fn(state) -> (LinSys, chi2); chi2_fn(state) -> (chi2, n_active);
+    apply_fn(state, dx (N,D)) -> state. ``free`` (N,D) float mask.
+    """
+    N = free.shape[0]
+    dtype = free.dtype
+    chi2_0, nact = chi2_fn(state0)
+    skip = nact < cfg.min_edges
+
+    sys0, _ = linearize_fn(state0)
+    D0 = diag_blocks(sys0, N)
+    maxdiag = jnp.max(jnp.abs(jnp.einsum("vaa->va", D0)) * free)
+    lam0 = (cfg.lm_tau * jnp.maximum(maxdiag, 1e-12)).astype(dtype)
+
+    def lm_step(carry):
+        state, lam, nu, chi2, it, _ = carry
+        sys, _ = linearize_fn(state)
+        b = gradient(sys, N)
+        if cfg.backend == "dense":
+            dx = dense_solve(sys, -b, free, lam)
+        else:
+            Db = diag_blocks(sys, N)
+            Minv = block_jacobi_inverse(Db, free, lam)
+            dx = cg_solve(sys, -b, free, lam, Minv, cfg.cg_max_iters, cfg.cg_rtol)
+        trial = apply_fn(state, dx)
+        chi2_t, _ = chi2_fn(trial)
+        denom = jnp.sum(dx * (lam * dx - b))
+        rho = (chi2 - chi2_t) / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+        finite = jax.tree_util.tree_reduce(
+            lambda acc, x: acc & jnp.all(jnp.isfinite(x)), trial, jnp.asarray(True)
+        )
+        accept = (chi2_t < chi2) & finite
+        state_n = jax.tree_util.tree_map(
+            lambda t, s: jnp.where(accept, t, s), trial, state
+        )
+        chi2_n = jnp.where(accept, chi2_t, chi2)
+        lam_dec = lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam_n = jnp.where(accept, lam_dec, lam * nu).astype(dtype)
+        nu_n = jnp.where(accept, 2.0, nu * 2.0).astype(dtype)
+        converged = accept & (
+            ((chi2 - chi2_n) <= cfg.chi2_rel_tol * jnp.maximum(chi2, 1e-30))
+            | (jnp.sum(dx * dx) < cfg.dx_tol)
+        )
+        return state_n, lam_n, nu_n, chi2_n, it + 1, converged
+
+    def cond(carry):
+        _, lam, _, _, it, done = carry
+        return (~done) & (it < cfg.max_iterations) & (lam < 1e12) & (~skip)
+
+    init = (
+        state0, lam0, jnp.asarray(2.0, dtype), chi2_0,
+        jnp.asarray(0, jnp.int32), jnp.asarray(False),
+    )
+    state, lam, nu, chi2, iters, _ = jax.lax.while_loop(cond, lm_step, init)
+    stats = SolverStats(
+        chi2_initial=chi2_0,
+        chi2_final=chi2,
+        iterations=jnp.where(skip, -1, iters),
+        lambda_final=lam,
+        num_active_edges=nact,
+    )
+    return state, stats

@@ -1,0 +1,227 @@
+"""SE2 pose graph: vertex/edge tables and the host-side builder.
+
+Vertex parameterization matches g2o::VertexSE2 — raw (x, y, theta) with
+additive updates and angle normalization — so Jacobians are taken directly
+with respect to the parameters (autodiff, exact).
+
+Edge types used by the delta backend
+(/root/reference/apps/delta_graph_slam_nodelet.cpp):
+- EdgeSE2            odometry / loop closure / keyframe<->building /
+                     building anti-overlap (levels 0/1/2)
+- EdgeSE2PriorXY     GPS and building-alignment position priors
+                     (error = t - m, include/g2o/edge_se2_priorxy.hpp:40-46)
+- EdgeSE2PriorQuat   yaw priors (error = normalize(theta - theta_m),
+                     include/g2o/edge_se2_priorquat.hpp:36-48)
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geom.se2 import normalize_angle
+from .robust import kernel_id
+
+
+class SE2Edges(NamedTuple):
+    i: jnp.ndarray       # (E,) int32 first vertex
+    j: jnp.ndarray       # (E,) int32 second vertex
+    meas: jnp.ndarray    # (E,3) measurement [x,y,theta] (Z: i->j)
+    info: jnp.ndarray    # (E,3,3)
+    level: jnp.ndarray   # (E,) int32
+    kernel: jnp.ndarray  # (E,) int32 robust kernel id
+    delta: jnp.ndarray   # (E,) kernel width
+    mask: jnp.ndarray    # (E,) bool
+
+
+class SE2PriorXYEdges(NamedTuple):
+    i: jnp.ndarray       # (E,)
+    meas: jnp.ndarray    # (E,2)
+    info: jnp.ndarray    # (E,2,2)
+    level: jnp.ndarray
+    kernel: jnp.ndarray
+    delta: jnp.ndarray
+    mask: jnp.ndarray
+
+
+class SE2PriorYawEdges(NamedTuple):
+    i: jnp.ndarray       # (E,)
+    meas: jnp.ndarray    # (E,)
+    info: jnp.ndarray    # (E,)
+    level: jnp.ndarray
+    kernel: jnp.ndarray
+    delta: jnp.ndarray
+    mask: jnp.ndarray
+
+
+class SE2Graph(NamedTuple):
+    poses: jnp.ndarray   # (V,3)
+    fixed: jnp.ndarray   # (V,) bool
+    vmask: jnp.ndarray   # (V,) bool allocated
+    edges: SE2Edges
+    priors_xy: SE2PriorXYEdges
+    priors_yaw: SE2PriorYawEdges
+
+
+# ---------------------------------------------------------------- residuals
+
+def se2_edge_error(pose_i, pose_j, meas):
+    """g2o EdgeSE2: err = (Z^-1 * (Xi^-1 * Xj)).toVector()."""
+    ci, si = jnp.cos(pose_i[2]), jnp.sin(pose_i[2])
+    dt = pose_j[:2] - pose_i[:2]
+    # Xi^-1 * Xj translation: R(-theta_i) @ dt
+    tx = ci * dt[0] + si * dt[1]
+    ty = -si * dt[0] + ci * dt[1]
+    cm, sm = jnp.cos(meas[2]), jnp.sin(meas[2])
+    ex = cm * (tx - meas[0]) + sm * (ty - meas[1])
+    ey = -sm * (tx - meas[0]) + cm * (ty - meas[1])
+    eth = normalize_angle(pose_j[2] - pose_i[2] - meas[2])
+    return jnp.stack([ex, ey, eth])
+
+
+def se2_prior_xy_error(pose_i, meas):
+    return pose_i[:2] - meas
+
+
+def se2_prior_yaw_error(pose_i, meas):
+    return normalize_angle(pose_i[2] - meas)[None]
+
+
+# ------------------------------------------------------------------ builder
+
+class SE2GraphBuilder:
+    """Host-side mutable graph; ``to_arrays`` pads to fixed capacities.
+
+    Mirrors GraphSLAM's add_se2_node/add_se2_edge/add_robust_kernel helpers
+    (/root/reference/src/hdl_graph_slam/graph_slam.cpp:112-336) with edge
+    removal support for the de-overlap loop (delta nodelet :850-853).
+    """
+
+    def __init__(self, dtype=np.float64):
+        self.dtype = dtype
+        self.poses = []
+        self.fixed = []
+        self.edges = []       # dicts: type, i, j, meas, info, level, kernel, delta
+        self._next_edge_id = 0
+
+    # ---- vertices
+    def add_vertex(self, pose, fixed=False) -> int:
+        self.poses.append(np.asarray(pose, self.dtype))
+        self.fixed.append(bool(fixed))
+        return len(self.poses) - 1
+
+    def set_fixed(self, vid, fixed=True):
+        self.fixed[vid] = bool(fixed)
+
+    def set_all_fixed(self, fixed, only=None):
+        for v in range(len(self.fixed)) if only is None else only:
+            self.fixed[v] = bool(fixed)
+
+    def set_pose(self, vid, pose):
+        self.poses[vid] = np.asarray(pose, self.dtype)
+
+    @property
+    def num_vertices(self):
+        return len(self.poses)
+
+    @property
+    def num_edges(self):
+        return len(self.edges)
+
+    # ---- edges
+    def _add_edge(self, etype, i, j, meas, info, level, kernel, delta):
+        eid = self._next_edge_id
+        self._next_edge_id += 1
+        self.edges.append(
+            dict(id=eid, type=etype, i=i, j=j,
+                 meas=np.asarray(meas, self.dtype),
+                 info=np.asarray(info, self.dtype),
+                 level=int(level), kernel=kernel_id(kernel),
+                 delta=float(delta))
+        )
+        return eid
+
+    def add_se2_edge(self, i, j, meas, info, level=0, kernel="NONE", delta=1.0):
+        info = np.asarray(info, self.dtype)
+        if info.ndim == 0:
+            info = info * np.eye(3)
+        return self._add_edge("se2", i, j, meas, info, level, kernel, delta)
+
+    def add_prior_xy(self, i, meas, info, level=0, kernel="NONE", delta=1.0):
+        info = np.asarray(info, self.dtype)
+        if info.ndim == 0:
+            info = info * np.eye(2)
+        return self._add_edge("xy", i, None, meas, info, level, kernel, delta)
+
+    def add_prior_yaw(self, i, meas, info, level=0, kernel="NONE", delta=1.0):
+        return self._add_edge(
+            "yaw", i, None, np.asarray(meas, self.dtype),
+            np.asarray(info, self.dtype).reshape(()), level, kernel, delta
+        )
+
+    def remove_edge(self, eid):
+        self.edges = [e for e in self.edges if e["id"] != eid]
+
+    # ---- export
+    @staticmethod
+    def _cap(n, minimum=4):
+        c = minimum
+        while c < n:
+            c *= 2
+        return c
+
+    def to_arrays(self, v_capacity=None, e_capacity=None, dtype=None) -> SE2Graph:
+        dtype = dtype or self.dtype
+        nv = len(self.poses)
+        vc = v_capacity or self._cap(nv)
+        assert vc >= nv
+
+        poses = np.zeros((vc, 3), dtype)
+        if nv:
+            poses[:nv] = np.stack(self.poses)
+        fixed = np.zeros(vc, bool)
+        fixed[:nv] = self.fixed
+        vmask = np.zeros(vc, bool)
+        vmask[:nv] = True
+
+        def pack(etype, jdim, mdim, idim):
+            es = [e for e in self.edges if e["type"] == etype]
+            ec = e_capacity or self._cap(len(es))
+            ec = max(ec, self._cap(len(es)))
+            i = np.zeros(ec, np.int32)
+            j = np.zeros(ec, np.int32)
+            meas = np.zeros((ec,) + mdim, dtype)
+            info = np.zeros((ec,) + idim, dtype)
+            level = np.zeros(ec, np.int32)
+            kern = np.zeros(ec, np.int32)
+            delt = np.ones(ec, dtype)
+            mask = np.zeros(ec, bool)
+            for k, e in enumerate(es):
+                i[k] = e["i"]
+                if jdim:
+                    j[k] = e["j"]
+                meas[k] = e["meas"]
+                info[k] = e["info"]
+                level[k] = e["level"]
+                kern[k] = e["kernel"]
+                delt[k] = e["delta"]
+                mask[k] = True
+            return i, j, meas, info, level, kern, delt, mask
+
+        i, j, m, o, l, k, d, msk = pack("se2", True, (3,), (3, 3))
+        edges = SE2Edges(*map(jnp.asarray, (i, j, m, o, l, k, d, msk)))
+        i, _, m, o, l, k, d, msk = pack("xy", False, (2,), (2, 2))
+        pxy = SE2PriorXYEdges(*map(jnp.asarray, (i, m, o, l, k, d, msk)))
+        i, _, m, o, l, k, d, msk = pack("yaw", False, (), ())
+        pyaw = SE2PriorYawEdges(*map(jnp.asarray, (i, m, o, l, k, d, msk)))
+        return SE2Graph(
+            jnp.asarray(poses), jnp.asarray(fixed), jnp.asarray(vmask),
+            edges, pxy, pyaw,
+        )
+
+    def update_poses(self, poses):
+        """Pull optimized poses back into the builder."""
+        poses = np.asarray(poses)
+        for v in range(len(self.poses)):
+            self.poses[v] = poses[v].astype(self.dtype)

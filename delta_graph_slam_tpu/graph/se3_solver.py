@@ -1,0 +1,259 @@
+"""Robust LM for the SE3 graph (poses + plane + point landmarks).
+
+Vertices live in one unified 6-dim block space (planes/points use the first
+3 dims, the rest masked) so the lm_core machinery applies unchanged.
+Jacobians are exact: forward-mode autodiff of each edge error through the
+vertex-local update maps (right-multiplicative se3 exp for poses, g2o
+Plane3D::oplus for planes, additive for points) evaluated at zero.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .lm_core import (
+    SolverConfig,
+    concat_sys,
+    lm_optimize,
+    pad_block,
+)
+from .robust import robust_rho, robust_weight
+from .se3_graph import (
+    SE3Graph,
+    error_plane_identity,
+    error_plane_parallel,
+    error_plane_perpendicular,
+    error_plane_prior_distance,
+    error_plane_prior_normal,
+    error_se3,
+    error_se3_plane,
+    error_se3_point,
+    error_se3_prior_quat,
+    error_se3_prior_vec,
+    error_se3_prior_xy,
+    error_se3_prior_xyz,
+    plane_oplus,
+    pose7_oplus,
+)
+
+
+# delta-parameterized error functions (autodiff at delta = 0) -------------
+
+def _f_se3(da, db, pi, pj, meas):
+    return error_se3(pose7_oplus(pi, da), pose7_oplus(pj, db), meas)
+
+
+def _f_prior(err_fn, da, pi, meas):
+    return err_fn(pose7_oplus(pi, da), meas)
+
+
+def _f_se3_plane(da, db, pi, pl, meas):
+    return error_se3_plane(pose7_oplus(pi, da), plane_oplus(pl, db), meas)
+
+
+def _f_se3_point(da, db, pi, pt, meas):
+    return error_se3_point(pose7_oplus(pi, da), pt + db, meas)
+
+
+def _f_pp(da, db, p1, p2, meas, kind):
+    a = plane_oplus(p1, da)
+    b = plane_oplus(p2, db)
+    e_id = error_plane_identity(a, b, meas)
+    e_par = jnp.concatenate([error_plane_parallel(a, b, meas[:3]),
+                             jnp.zeros((1,), a.dtype)])
+    e_perp = jnp.concatenate([error_plane_perpendicular(a, b, meas),
+                              jnp.zeros((3,), a.dtype)])
+    return jnp.where(kind == 0, e_id, jnp.where(kind == 1, e_par, e_perp))
+
+
+def _f_pprior(da, p, meas, kind):
+    a = plane_oplus(p, da)
+    e_n = error_plane_prior_normal(a, meas)
+    e_d = jnp.concatenate([error_plane_prior_distance(a, meas[0]),
+                           jnp.zeros((2,), a.dtype)])
+    return jnp.where(kind == 0, e_n, e_d)
+
+
+_j_se3 = jax.vmap(jax.jacfwd(_f_se3, argnums=(0, 1)))
+_r_se3 = jax.vmap(_f_se3)
+_j_se3_plane = jax.vmap(jax.jacfwd(_f_se3_plane, argnums=(0, 1)))
+_r_se3_plane = jax.vmap(_f_se3_plane)
+_j_se3_point = jax.vmap(jax.jacfwd(_f_se3_point, argnums=(0, 1)))
+_r_se3_point = jax.vmap(_f_se3_point)
+_j_pp = jax.vmap(jax.jacfwd(_f_pp, argnums=(0, 1)))
+_r_pp = jax.vmap(_f_pp)
+_j_pprior = jax.vmap(jax.jacfwd(_f_pprior, argnums=0))
+_r_pprior = jax.vmap(_f_pprior)
+
+_PRIORS = {
+    "xy": (error_se3_prior_xy, 2),
+    "xyz": (error_se3_prior_xyz, 3),
+    "vec": (error_se3_prior_vec, 3),
+    "quat": (error_se3_prior_quat, 3),
+}
+_prior_fns = {
+    k: (
+        jax.vmap(functools.partial(_f_prior, fn)),
+        jax.vmap(jax.jacfwd(functools.partial(_f_prior, fn), argnums=0)),
+        dim,
+    )
+    for k, (fn, dim) in _PRIORS.items()
+}
+
+
+def _z(n, d, dtype):
+    return jnp.zeros((n, d), dtype)
+
+
+def _families(graph: SE3Graph, state, with_jac):
+    """Yield (gi, gj, r, Ji, Jj, info, act, kernel, delta, rdim) with global
+    vertex indices over the unified [poses | planes | points] space."""
+    poses, planes, points = state
+    V = poses.shape[0]
+    P = planes.shape[0]
+    dt = poses.dtype
+
+    e = graph.edges
+    n = e.i.shape[0]
+    r = _r_se3(_z(n, 6, dt), _z(n, 6, dt), poses[e.i], poses[e.j], e.meas)
+    Ji, Jj = (_j_se3(_z(n, 6, dt), _z(n, 6, dt), poses[e.i], poses[e.j], e.meas)
+              if with_jac else (None, None))
+    yield e.i, e.j, r, Ji, Jj, e.info, e.mask, e.level, e.kernel, e.delta, 6
+
+    for name in ("xy", "xyz", "vec", "quat"):
+        p = getattr(graph, f"priors_{name}")
+        r_fn, j_fn, dim = _prior_fns[name]
+        n = p.i.shape[0]
+        r = r_fn(_z(n, 6, dt), poses[p.i], p.meas)
+        Ji = j_fn(_z(n, 6, dt), poses[p.i], p.meas) if with_jac else None
+        yield p.i, p.i, r, Ji, None, p.info, p.mask, p.level, p.kernel, p.delta, dim
+
+    s = graph.se3_plane
+    n = s.i.shape[0]
+    gp = V + s.p
+    r = _r_se3_plane(_z(n, 6, dt), _z(n, 3, dt), poses[s.i], planes[s.p], s.meas)
+    Ji, Jj = (_j_se3_plane(_z(n, 6, dt), _z(n, 3, dt), poses[s.i], planes[s.p], s.meas)
+              if with_jac else (None, None))
+    yield s.i, gp, r, Ji, Jj, s.info, s.mask, s.level, s.kernel, s.delta, 3
+
+    t = graph.se3_point
+    n = t.i.shape[0]
+    gq = V + P + t.q
+    r = _r_se3_point(_z(n, 6, dt), _z(n, 3, dt), poses[t.i], points[t.q], t.meas)
+    Ji, Jj = (_j_se3_point(_z(n, 6, dt), _z(n, 3, dt), poses[t.i], points[t.q], t.meas)
+              if with_jac else (None, None))
+    yield t.i, gq, r, Ji, Jj, t.info, t.mask, t.level, t.kernel, t.delta, 3
+
+    w = graph.plane_plane
+    n = w.a.shape[0]
+    ga, gb = V + w.a, V + w.b
+    r = _r_pp(_z(n, 3, dt), _z(n, 3, dt), planes[w.a], planes[w.b], w.meas, w.kind)
+    Ji, Jj = (_j_pp(_z(n, 3, dt), _z(n, 3, dt), planes[w.a], planes[w.b], w.meas, w.kind)
+              if with_jac else (None, None))
+    yield ga, gb, r, Ji, Jj, w.info, w.mask, w.level, w.kernel, w.delta, 4
+
+    u = graph.plane_priors
+    n = u.p.shape[0]
+    gp = V + u.p
+    r = _r_pprior(_z(n, 3, dt), planes[u.p], u.meas, u.kind)
+    Ji = _j_pprior(_z(n, 3, dt), planes[u.p], u.meas, u.kind) if with_jac else None
+    yield gp, gp, r, Ji, None, u.info, u.mask, u.level, u.kernel, u.delta, 3
+
+
+def _chi2(graph, state, level):
+    total = jnp.asarray(0.0, state[0].dtype)
+    nact = jnp.asarray(0, jnp.int32)
+    for gi, gj, r, _, _, info, mask, lvl, kern, delta, dim in _families(
+        graph, state, with_jac=False
+    ):
+        act = mask & (lvl == level)
+        rr = r.reshape(r.shape[0], -1)[:, :dim]
+        ii = info.reshape(-1, info.shape[-1], info.shape[-1])[:, :dim, :dim]
+        e2 = jnp.einsum("ea,eab,eb->e", rr, ii, rr)
+        rho = robust_rho(e2, kern, delta)
+        total = total + jnp.sum(jnp.where(act, rho, 0.0))
+        nact = nact + jnp.sum(act)
+    return total, nact
+
+
+def _linearize(graph, state, level):
+    parts = []
+    chi2 = jnp.asarray(0.0, state[0].dtype)
+    for gi, gj, r, Ji, Jj, info, mask, lvl, kern, delta, dim in _families(
+        graph, state, with_jac=True
+    ):
+        act = mask & (lvl == level)
+        rr = r.reshape(r.shape[0], -1)[:, :dim]
+        ii = info.reshape(-1, info.shape[-1], info.shape[-1])[:, :dim, :dim]
+        e2 = jnp.einsum("ea,eab,eb->e", rr, ii, rr)
+        rho = robust_rho(e2, kern, delta)
+        w = robust_weight(e2, kern, delta)
+        chi2 = chi2 + jnp.sum(jnp.where(act, rho, 0.0))
+        Wf = ii * jnp.where(act, w, 0.0)[:, None, None]
+        Jic = Ji[:, :dim, :] if Ji is not None else None
+        Jjc = Jj[:, :dim, :] if Jj is not None else None
+        r6, Ji6, Jj6, W6 = pad_block(rr, Jic, Jjc, Wf, dim, 6)
+        parts.append((gi.astype(jnp.int32), gj.astype(jnp.int32), r6, Ji6, Jj6, W6))
+    return concat_sys(parts), chi2
+
+
+def _free_mask(graph: SE3Graph, level):
+    V = graph.poses.shape[0]
+    P = graph.planes.shape[0]
+    Q = graph.points.shape[0]
+    N = V + P + Q
+    act = jnp.zeros(N, bool)
+    state = (graph.poses, graph.planes, graph.points)
+    for gi, gj, *_rest in _families(graph, state, with_jac=False):
+        mask, lvl = _rest[4], _rest[5]
+        m = mask & (lvl == level)
+        act = act.at[gi].max(m)
+        act = act.at[gj].max(m)
+    fixed = jnp.concatenate([graph.fixed, graph.plane_fixed, graph.point_fixed])
+    alloc = jnp.concatenate([graph.vmask, graph.plane_mask, graph.point_mask])
+    free = act & ~fixed & alloc
+    dimmask = jnp.concatenate(
+        [
+            jnp.ones((V, 6), bool),
+            jnp.zeros((P, 6), bool).at[:, :3].set(True),
+            jnp.zeros((Q, 6), bool).at[:, :3].set(True),
+        ]
+    )
+    return (free[:, None] & dimmask).astype(graph.poses.dtype)
+
+
+def _make_optimize(cfg: SolverConfig):
+    def opt(graph: SE3Graph, level):
+        V = graph.poses.shape[0]
+        P = graph.planes.shape[0]
+        free = _free_mask(graph, level)
+        state0 = (graph.poses, graph.planes, graph.points)
+
+        def linearize_fn(state):
+            return _linearize(graph, state, level)
+
+        def chi2_fn(state):
+            return _chi2(graph, state, level)
+
+        def apply_fn(state, dx):
+            poses, planes, points = state
+            poses = pose7_oplus(poses, dx[:V])
+            planes = plane_oplus(planes, dx[V:V + P, :3])
+            points = points + dx[V + P:, :3]
+            return (poses, planes, points)
+
+        return lm_optimize(linearize_fn, chi2_fn, apply_fn, state0, free, cfg)
+
+    return opt
+
+
+_OPT_CACHE = {}
+
+
+def optimize_se3(graph: SE3Graph, level=0, config: SolverConfig = None):
+    """Optimize; returns ((poses, planes, points), SolverStats)."""
+    config = config or SolverConfig()
+    if config not in _OPT_CACHE:
+        _OPT_CACHE[config] = jax.jit(_make_optimize(config))
+    return _OPT_CACHE[config](graph, jnp.asarray(level, jnp.int32))

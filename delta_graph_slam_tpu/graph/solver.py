@@ -1,0 +1,140 @@
+"""Level-masked robust LM for SE2 pose graphs (on the lm_core machinery).
+
+Replaces g2o's OptimizationAlgorithmLevenberg + CHOLMOD for the delta
+backend (GraphSLAM::optimize, /root/reference/src/hdl_graph_slam/
+graph_slam.cpp:338-352). g2o semantics kept: additive SE2 updates with
+angle normalization, level masking (initializeOptimization(level) keeps
+edges whose level == level), fixed vertices, robust kernels via IRLS
+weights.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..geom.se2 import normalize_angle
+from .lm_core import (
+    SolverConfig,
+    SolverStats,
+    concat_sys,
+    lm_optimize,
+    pad_block,
+)
+from .robust import robust_rho, robust_weight
+from .se2_graph import (
+    SE2Graph,
+    se2_edge_error,
+    se2_prior_xy_error,
+    se2_prior_yaw_error,
+)
+
+_se2_jac = jax.vmap(jax.jacfwd(se2_edge_error, argnums=(0, 1)))
+_xy_jac = jax.vmap(jax.jacfwd(se2_prior_xy_error, argnums=0))
+_yaw_jac = jax.vmap(jax.jacfwd(se2_prior_yaw_error, argnums=0))
+
+
+def _edge_families(graph: SE2Graph, poses, level, with_jac):
+    e = graph.edges
+    pi, pj = poses[e.i], poses[e.j]
+    r = jax.vmap(se2_edge_error)(pi, pj, e.meas)
+    Ji, Jj = _se2_jac(pi, pj, e.meas) if with_jac else (None, None)
+    act = e.mask & (e.level == level)
+    yield e.i, e.j, r, Ji, Jj, e.info, act, e.kernel, e.delta, 3
+
+    p = graph.priors_xy
+    r = jax.vmap(se2_prior_xy_error)(poses[p.i], p.meas)
+    Ji = _xy_jac(poses[p.i], p.meas) if with_jac else None
+    act = p.mask & (p.level == level)
+    yield p.i, p.i, r, Ji, None, p.info, act, p.kernel, p.delta, 2
+
+    q = graph.priors_yaw
+    r = jax.vmap(se2_prior_yaw_error)(poses[q.i], q.meas)
+    Ji = _yaw_jac(poses[q.i], q.meas) if with_jac else None
+    act = q.mask & (q.level == level)
+    yield q.i, q.i, r, Ji, None, q.info.reshape(-1, 1, 1), act, q.kernel, q.delta, 1
+
+
+def _chi2(graph: SE2Graph, poses, level):
+    total = jnp.asarray(0.0, poses.dtype)
+    nact = jnp.asarray(0, jnp.int32)
+    for i, j, r, _, _, info, act, kern, delta, dim in _edge_families(
+        graph, poses, level, with_jac=False
+    ):
+        rr = r.reshape(r.shape[0], dim)
+        ii = info.reshape(-1, dim, dim)
+        e2 = jnp.einsum("ea,eab,eb->e", rr, ii, rr)
+        rho = robust_rho(e2, kern, delta)
+        total = total + jnp.sum(jnp.where(act, rho, 0.0))
+        nact = nact + jnp.sum(act)
+    return total, nact
+
+
+def _linearize(graph: SE2Graph, poses, level):
+    parts = []
+    chi2 = jnp.asarray(0.0, poses.dtype)
+    for i, j, r, Ji, Jj, info, act, kern, delta, dim in _edge_families(
+        graph, poses, level, with_jac=True
+    ):
+        rr = r.reshape(r.shape[0], dim)
+        ii = info.reshape(-1, dim, dim)
+        e2 = jnp.einsum("ea,eab,eb->e", rr, ii, rr)
+        rho = robust_rho(e2, kern, delta)
+        w = robust_weight(e2, kern, delta)
+        chi2 = chi2 + jnp.sum(jnp.where(act, rho, 0.0))
+        Wf = ii * jnp.where(act, w, 0.0)[:, None, None]
+        r3, Ji3, Jj3, W3 = pad_block(rr, Ji, Jj, Wf, dim, 3)
+        parts.append((i, j, r3, Ji3, Jj3, W3))
+    return concat_sys(parts), chi2
+
+
+def _free_mask(graph: SE2Graph, level):
+    """Vertices touched by an active edge and not explicitly fixed."""
+    V = graph.poses.shape[0]
+    act = jnp.zeros(V, bool)
+    e = graph.edges
+    m = e.mask & (e.level == level)
+    act = act.at[e.i].max(m)
+    act = act.at[e.j].max(m)
+    p = graph.priors_xy
+    act = act.at[p.i].max(p.mask & (p.level == level))
+    q = graph.priors_yaw
+    act = act.at[q.i].max(q.mask & (q.level == level))
+    free = act & ~graph.fixed & graph.vmask
+    return jnp.broadcast_to(
+        free.astype(graph.poses.dtype)[:, None], (V, 3)
+    )
+
+
+def _make_optimize(cfg: SolverConfig):
+    def opt(graph: SE2Graph, level):
+        free = _free_mask(graph, level)
+
+        def linearize_fn(poses):
+            return _linearize(graph, poses, level)
+
+        def chi2_fn(poses):
+            return _chi2(graph, poses, level)
+
+        def apply_fn(poses, dx):
+            out = poses + dx
+            return out.at[:, 2].set(normalize_angle(out[:, 2]))
+
+        return lm_optimize(
+            linearize_fn, chi2_fn, apply_fn, graph.poses, free, cfg
+        )
+
+    return opt
+
+
+_OPT_CACHE = {}
+
+
+def optimize_se2(graph: SE2Graph, level=0, config: SolverConfig = None):
+    """Optimize the graph at the given level; returns (poses, SolverStats).
+
+    Mirrors GraphSLAM::optimize(num_iterations, level)
+    (graph_slam.cpp:338-352) including the <min_edges skip.
+    """
+    config = config or SolverConfig()
+    if config not in _OPT_CACHE:
+        _OPT_CACHE[config] = jax.jit(_make_optimize(config))
+    return _OPT_CACHE[config](graph, jnp.asarray(level, jnp.int32))

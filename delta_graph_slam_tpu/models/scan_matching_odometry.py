@@ -1,0 +1,175 @@
+"""Frame-to-keyframe scan-matching odometry.
+
+Reproduces ScanMatchingOdometryNodelet::matching
+(/root/reference/apps/scan_matching_odometry_nodelet.cpp:173-270):
+
+- first frame becomes the keyframe, pose = I;
+- align the new frame against the keyframe with initial guess
+  prev_trans @ msf_delta (IMU/robot-odometry delta when provided);
+- non-convergence -> reuse prev_trans (:222-226);
+- transform_thresholding -> reject jumps where |dt| or angle of
+  prev_trans^-1 @ trans exceeds limits (:231-241);
+- keyframe swap when delta translation/angle/time exceed thresholds
+  (:249-260);
+- odometry pose = keyframe_pose @ trans, flattened to SE2 for publication
+  (publish_odometry :277-304);
+- per-frame ScanMatchingStatus: convergence, fitness, inlier fraction
+  (1-NN within 0.5 m, :309-346).
+"""
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..geom.se3 import transform_3d_to_2d
+from ..ops.cloud import MaskedCloud
+from ..ops.knn import nn_1
+from ..register import Registration, RegistrationConfig, make_registration
+import jax
+
+
+@dataclasses.dataclass(frozen=True)
+class OdometryConfig:
+    registration: RegistrationConfig = dataclasses.field(
+        default_factory=lambda: RegistrationConfig(method="FAST_GICP")
+    )
+    keyframe_delta_trans: float = 0.25
+    keyframe_delta_angle: float = 0.15
+    keyframe_delta_time: float = 1.0
+    transform_thresholding: bool = False
+    max_acceptable_trans: float = 1.0
+    max_acceptable_angle: float = 1.0
+    downsample_method: str = "NONE"
+    downsample_resolution: float = 0.1
+    status_max_correspondence_dist: float = 0.5
+
+
+class OdometryFrame(NamedTuple):
+    """Odometry result + telemetry (the ScanMatchingStatus contract)."""
+
+    pose: np.ndarray           # (4,4) odometry pose
+    pose2d: np.ndarray         # (3,) flattened SE2
+    converged: bool
+    matching_error: float      # registration fitness (mean sq distance)
+    inlier_fraction: float
+    relative_pose: np.ndarray  # (4,4) final registration transform
+    keyframe_swapped: bool
+    rejected: bool             # frame ignored (non-convergence / jump)
+
+
+@jax.jit
+def _inlier_fraction(points, mask, tgt_points, tgt_mask, T, max_dist):
+    T = jnp.asarray(T, points.dtype)
+    moved = points @ T[:3, :3].T + T[:3, 3]
+    d2, _ = nn_1(moved, mask, tgt_points, tgt_mask)
+    n = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(mask & (d2 < max_dist * max_dist)) / n
+
+
+class ScanMatchingOdometry:
+    def __init__(self, cfg: OdometryConfig = OdometryConfig()):
+        self.cfg = cfg
+        self.registration: Registration = make_registration(cfg.registration)
+        self.keyframe: Optional[MaskedCloud] = None
+        self._keyframe_target = None
+        self.keyframe_pose = np.eye(4)
+        self.keyframe_stamp = 0.0
+        self.prev_trans = np.eye(4)
+        self.prev_time = 0.0
+
+    def reset(self):
+        self.keyframe = None
+        self._keyframe_target = None
+        self.keyframe_pose = np.eye(4)
+        self.prev_trans = np.eye(4)
+        self.prev_time = 0.0
+
+    def _set_keyframe(self, cloud: MaskedCloud, stamp: float):
+        self.keyframe = cloud
+        self._keyframe_target = self.registration.build_target(cloud)
+        self.keyframe_stamp = stamp
+
+    def matching(self, stamp: float, cloud: MaskedCloud,
+                 msf_delta: Optional[np.ndarray] = None) -> OdometryFrame:
+        if self.keyframe is None:
+            self.prev_trans = np.eye(4)
+            self.keyframe_pose = np.eye(4)
+            self._set_keyframe(cloud, stamp)
+            return OdometryFrame(
+                pose=np.eye(4), pose2d=np.zeros(3), converged=True,
+                matching_error=0.0, inlier_fraction=1.0,
+                relative_pose=np.eye(4), keyframe_swapped=True,
+                rejected=False,
+            )
+
+        guess = self.prev_trans @ (
+            np.eye(4) if msf_delta is None else np.asarray(msf_delta)
+        )
+        src = self.registration.build_source(cloud)
+        res = self.registration._align(
+            src, self._keyframe_target, jnp.asarray(guess, jnp.float32)
+        )
+        T = np.asarray(res.transformation, np.float64)
+        converged = bool(res.converged)
+        frac = float(
+            _inlier_fraction(
+                cloud.points, cloud.mask,
+                self.keyframe.points, self.keyframe.mask,
+                T, self.cfg.status_max_correspondence_dist,
+            )
+        )
+
+        if not converged:
+            pose = self.keyframe_pose @ self.prev_trans
+            return OdometryFrame(
+                pose=pose, pose2d=np.asarray(transform_3d_to_2d(pose)),
+                converged=False, matching_error=float(res.fitness),
+                inlier_fraction=frac, relative_pose=T,
+                keyframe_swapped=False, rejected=True,
+            )
+
+        odom = self.keyframe_pose @ T
+
+        if self.cfg.transform_thresholding:
+            delta = np.linalg.inv(self.prev_trans) @ T
+            dx = np.linalg.norm(delta[:3, 3])
+            qw = np.clip(
+                np.sqrt(max(0.0, 1.0 + np.trace(delta[:3, :3]))) / 2.0, -1, 1
+            )
+            da = np.arccos(qw)
+            if dx > self.cfg.max_acceptable_trans or da > self.cfg.max_acceptable_angle:
+                pose = self.keyframe_pose @ self.prev_trans
+                return OdometryFrame(
+                    pose=pose, pose2d=np.asarray(transform_3d_to_2d(pose)),
+                    converged=True, matching_error=float(res.fitness),
+                    inlier_fraction=frac, relative_pose=T,
+                    keyframe_swapped=False, rejected=True,
+                )
+
+        self.prev_time = stamp
+        self.prev_trans = T
+
+        # keyframe swap rule (:249-260)
+        delta_trans = np.linalg.norm(T[:3, 3])
+        qw = np.clip(np.sqrt(max(0.0, 1.0 + np.trace(T[:3, :3]))) / 2.0, -1, 1)
+        delta_angle = np.arccos(qw)
+        delta_time = stamp - self.keyframe_stamp
+        swapped = False
+        if (
+            delta_trans > self.cfg.keyframe_delta_trans
+            or delta_angle > self.cfg.keyframe_delta_angle
+            or delta_time > self.cfg.keyframe_delta_time
+        ):
+            self._set_keyframe(cloud, stamp)
+            self.keyframe_pose = odom
+            self.prev_trans = np.eye(4)
+            swapped = True
+
+        return OdometryFrame(
+            pose=odom, pose2d=np.asarray(transform_3d_to_2d(odom)),
+            converged=True, matching_error=float(res.fitness),
+            inlier_fraction=frac, relative_pose=T,
+            keyframe_swapped=swapped, rejected=False,
+        )

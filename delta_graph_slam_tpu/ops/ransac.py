@@ -1,0 +1,271 @@
+"""Many-hypothesis RANSAC estimators and euclidean clustering.
+
+TPU-native consensus: instead of PCL's sequential sample loop with early
+exit (pcl::RandomSampleConsensus, used by floor detection
+/root/reference/apps/floor_detection_nodelet.cpp:138-141 and line
+segmentation /root/reference/src/hdl_graph_slam/
+line_based_scanmatcher.cpp:345-358), we draw a fixed batch of hypotheses,
+score them all in parallel (vmap -> VPU), and argmax.
+
+Clustering replaces pcl::EuclideanClusterExtraction (cluster pruning of
+line inliers, line_based_scanmatcher.cpp:299-334) with min-label
+propagation + pointer jumping: O(log N) rounds of tiled neighbor mins.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .cloud import MaskedCloud
+from .knn import _chunked, _dist2
+
+
+class RansacResult(NamedTuple):
+    coeffs: jnp.ndarray       # (4,) plane [a,b,c,d] | line packed [ax,ay,bx,by]
+    inliers: jnp.ndarray      # (N,) bool
+    n_inliers: jnp.ndarray    # () int32
+    ok: jnp.ndarray           # () bool
+
+
+def _sample_indices(key, n_samples, n_points, count):
+    """Random valid indices (n_samples, n_points) into a compacted cloud."""
+    u = jax.random.uniform(key, (n_samples, n_points))
+    return (u * jnp.maximum(count, 1)).astype(jnp.int32)
+
+
+def ransac_plane(
+    cloud: MaskedCloud,
+    key,
+    n_hypotheses: int = 512,
+    dist_thresh: float = 0.1,
+    min_inliers: int = 512,
+) -> RansacResult:
+    """Plane RANSAC over a *compacted* cloud. coeffs = unit-normal [a,b,c,d]."""
+    pts, mask = cloud.points, cloud.mask
+    count = jnp.sum(mask).astype(jnp.int32)
+    idx = _sample_indices(key, n_hypotheses, 3, count)
+    p0, p1, p2 = pts[idx[:, 0]], pts[idx[:, 1]], pts[idx[:, 2]]
+    n = jnp.cross(p1 - p0, p2 - p0)
+    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    degenerate = nn[:, 0] < 1e-9
+    n = n / jnp.maximum(nn, 1e-12)
+    d = -jnp.sum(n * p0, axis=-1)  # (H,)
+    dist = jnp.abs(pts @ n.T + d[None, :])  # (N, H)
+    votes = jnp.sum((dist < dist_thresh) & mask[:, None], axis=0)
+    votes = jnp.where(degenerate, -1, votes)
+    best = jnp.argmax(votes)
+    coeffs = jnp.concatenate([n[best], d[best][None]])
+    inl = mask & (jnp.abs(pts @ coeffs[:3] + coeffs[3]) < dist_thresh)
+    n_inl = jnp.sum(inl)
+    return RansacResult(coeffs, inl, n_inl.astype(jnp.int32), n_inl >= min_inliers)
+
+
+def refine_plane(points, inliers, coeffs):
+    """Least-squares plane refit over inliers (SVD of centered covariance)."""
+    w = inliers.astype(points.dtype)[:, None]
+    cnt = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(points * w, axis=0) / cnt
+    c = (points - mean) * w
+    cov = c.T @ c / cnt
+    from .normals import smallest_eigvec_3x3
+
+    n = smallest_eigvec_3x3(cov)
+    # keep orientation of the input model
+    n = jnp.where(jnp.dot(n, coeffs[:3]) < 0, -n, n)
+    d = -jnp.dot(n, mean)
+    return jnp.concatenate([n, d[None]])
+
+
+def _point_line_dist2_2d(pts, a, dirn):
+    """Squared 2-D distance from points (N,2+) to the infinite line a + t*dir."""
+    rel = pts[:, :2] - a[None, :2]
+    t = rel @ dirn[:2]
+    proj = t[:, None] * dirn[None, :2]
+    return jnp.sum((rel - proj) ** 2, axis=-1)
+
+
+def ransac_line_single(pts, mask, key, n_hypotheses, dist_thresh):
+    """One best line hypothesis on the masked 2-D cloud.
+
+    Returns (a (2,), dir unit (2,), inliers (N,) bool).
+    """
+    count = jnp.sum(mask).astype(jnp.int32)
+    idx = _sample_indices(key, n_hypotheses, 2, count)
+    p0 = pts[idx[:, 0], :2]
+    p1 = pts[idx[:, 1], :2]
+    d = p1 - p0
+    dn = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    degenerate = dn[:, 0] < 1e-9
+    d = d / jnp.maximum(dn, 1e-12)
+    # distance of every point to every hypothesis line: |cross(d, p - p0)|
+    rel_x = pts[:, None, 0] - p0[None, :, 0]
+    rel_y = pts[:, None, 1] - p0[None, :, 1]
+    cross = rel_x * d[None, :, 1] - rel_y * d[None, :, 0]
+    votes = jnp.sum((jnp.abs(cross) < dist_thresh) & mask[:, None], axis=0)
+    votes = jnp.where(degenerate, -1, votes)
+    best = jnp.argmax(votes)
+    a, dirn = p0[best], d[best]
+    inl = mask & (_point_line_dist2_2d(pts, a, dirn) < dist_thresh * dist_thresh)
+    return a, dirn, inl
+
+
+def euclidean_cluster_mask(points, mask, tolerance, *, rounds=None, chunk=1024):
+    """Label connected components (distance <= tolerance) and return the mask
+    of the LARGEST cluster plus per-point labels.
+
+    Min-label propagation with pointer jumping: converges in O(log N) rounds
+    for any cluster shape (including 2 cm-spaced point chains).
+    """
+    import math
+
+    n = points.shape[0]
+    if rounds is None:
+        rounds = max(1, int(math.ceil(math.log2(max(n, 2)))) + 2)
+    tol2 = tolerance * tolerance
+    tgt, msk, nchunks = _chunked(points, mask, chunk)
+    labels0 = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), n)
+
+    def neighbor_min(labels):
+        def body(lab, inp):
+            ci, tc, mc = inp
+            d2 = _dist2(points, tc)
+            tglobal = ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
+            tlab = jnp.where(
+                tglobal < n, labels[jnp.clip(tglobal, 0, n - 1)], n
+            )
+            valid = mc[None, :] & (d2 <= tol2)
+            cand = jnp.where(valid, tlab[None, :], n)
+            return jnp.minimum(lab, jnp.min(cand, axis=1)), None
+
+        lab, _ = jax.lax.scan(
+            body, labels, (jnp.arange(nchunks, dtype=jnp.int32), tgt, msk)
+        )
+        return jnp.where(mask, lab, n)
+
+    def round_fn(_, labels):
+        labels = neighbor_min(labels)
+        # pointer jumping x2: label <- min(label, label[label])
+        for _ in range(2):
+            safe = jnp.clip(labels, 0, n - 1)
+            labels = jnp.where(mask, jnp.minimum(labels, labels[safe]), n)
+        return labels
+
+    labels = jax.lax.fori_loop(0, rounds, round_fn, labels0)
+    counts = jax.ops.segment_sum(
+        jnp.where(mask, 1, 0), jnp.clip(labels, 0, n), num_segments=n + 1
+    )[:-1]
+    winner = jnp.argmax(counts).astype(jnp.int32)
+    return (labels == winner) & mask, labels
+
+
+class LineSegments(NamedTuple):
+    """Fixed-capacity batch of 2-D line segments with per-line stats.
+
+    Mirrors the reference LineFeature (PointA/PointB/mean_error/std_sigma/
+    max_error/min_error, include/hdl_graph_slam/line_based_scanmatcher.hpp).
+    """
+
+    a: jnp.ndarray           # (L, 2)
+    b: jnp.ndarray           # (L, 2)
+    mean_error: jnp.ndarray  # (L,)
+    std_sigma: jnp.ndarray   # (L,)
+    max_error: jnp.ndarray   # (L,)
+    min_error: jnp.ndarray   # (L,)
+    mask: jnp.ndarray        # (L,) bool
+
+    @property
+    def capacity(self):
+        return self.a.shape[0]
+
+    def lengths(self):
+        return jnp.linalg.norm(self.b - self.a, axis=-1)
+
+    def directions(self):
+        d = self.b - self.a
+        return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+
+
+def ransac_line(
+    cloud: MaskedCloud,
+    key,
+    max_lines: int = 24,
+    n_hypotheses: int = 256,
+    dist_thresh: float = 0.1,
+    min_cluster_size: int = 25,
+    max_cluster_size: int = 25000,
+    cluster_tolerance: float = 1.0,
+    merror_threshold: float = 150.0,
+    length_threshold: float = 1.0,
+    cluster_rounds: int = 12,
+    chunk: int = 1024,
+) -> LineSegments:
+    """Iterative line extraction (line_based_scanmatcher.cpp:336-457).
+
+    Loop: fit best line by RANSAC -> keep only the largest euclidean cluster
+    of its inliers -> compute segment endpoints/statistics -> remove the
+    inliers -> accept if mean_error < merror_threshold and length >
+    length_threshold. Runs ``max_lines`` fixed iterations with masking
+    (iterations after the cloud is exhausted are no-ops).
+    """
+    pts2 = cloud.points[:, :2]
+    n = pts2.shape[0]
+    keys = jax.random.split(key, max_lines)
+
+    def step(carry, key_i):
+        mask = carry
+        enough = jnp.sum(mask) >= min_cluster_size
+        a, dirn, inl = ransac_line_single(pts2, mask, key_i, n_hypotheses, dist_thresh)
+        cluster, _ = euclidean_cluster_mask(
+            pts2, inl, cluster_tolerance, rounds=cluster_rounds, chunk=chunk
+        )
+        csize = jnp.sum(cluster)
+        cluster = cluster & (csize <= max_cluster_size)
+        accept_cluster = (csize >= min_cluster_size) & enough
+
+        # per-point distances to the infinite line (errors)
+        err = jnp.sqrt(_point_line_dist2_2d(pts2, a, dirn))
+        w = cluster.astype(pts2.dtype)
+        cnt = jnp.maximum(csize.astype(pts2.dtype), 1.0)
+        mean_err = jnp.sum(err * w) / cnt
+        sigma = jnp.sqrt(jnp.sum(w * (err - mean_err) ** 2) / cnt)
+        max_err = jnp.max(jnp.where(cluster, err, -jnp.inf))
+        min_err = jnp.min(jnp.where(cluster, err, jnp.inf))
+
+        # endpoints: extreme projections of cluster points onto the line
+        t = (pts2 - a[None, :]) @ dirn
+        t_lo = jnp.min(jnp.where(cluster, t, jnp.inf))
+        t_hi = jnp.max(jnp.where(cluster, t, -jnp.inf))
+        pa = a + t_lo * dirn
+        pb = a + t_hi * dirn
+        length = t_hi - t_lo
+
+        good = (
+            accept_cluster
+            & (mean_err < merror_threshold)
+            & (length > length_threshold)
+        )
+        # remove: the whole cluster when accepted as a run; when the cluster
+        # was too small the reference still removes those inliers
+        remove = jnp.where(enough, cluster, jnp.zeros_like(cluster))
+        new_mask = mask & ~remove
+        out = (
+            pa, pb, mean_err,
+            jnp.where(good, sigma, 0.0),
+            jnp.where(good, max_err, 0.0),
+            jnp.where(good, min_err, 0.0),
+            good,
+        )
+        return new_mask, out
+
+    _, (pa, pb, me, sg, mx, mn, ok) = jax.lax.scan(step, cloud.mask, keys)
+    zero = jnp.zeros((max_lines, 2), pts2.dtype)
+    return LineSegments(
+        a=jnp.where(ok[:, None], pa, zero),
+        b=jnp.where(ok[:, None], pb, zero),
+        mean_error=jnp.where(ok, me, 0.0),
+        std_sigma=sg,
+        max_error=mx,
+        min_error=mn,
+        mask=ok,
+    )

@@ -1,0 +1,190 @@
+"""Voxel-grid kernels: downsampling, occupied-cell centers, hash lookup.
+
+TPU-native replacements for pcl::VoxelGrid / ApproximateVoxelGrid
+(/root/reference/apps/prefiltering_nodelet.cpp:55-75, :249-260) and
+pcl::octree occupied-voxel centers (/root/reference/src/hdl_graph_slam/
+map_cloud_generator.cpp:38-49).
+
+Strategy: quantize to integer cell coords, lexicographically sort the
+(valid, ix, iy, iz) tuples with ``lax.sort(num_keys=4)``, mark first-in-run
+flags, and segment-reduce into a fixed-capacity output. Exact (no hash
+collisions), fully static shapes.
+
+``VoxelHash`` is the sorted-key lookup table used by the registration engine
+in place of kd-trees: packed 30-bit cell keys + ``searchsorted`` queries.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .cloud import MaskedCloud
+
+
+def voxel_coords(points, resolution, dtype=jnp.int32):
+    """floor(p / resolution) as integer cell coordinates (PCL convention)."""
+    return jnp.floor(points / resolution).astype(dtype)
+
+
+def voxel_keys(points, mask, resolution, bits=10, origin=None):
+    """Packed int32 voxel key per point; invalid points get key = 2^31-1.
+
+    Coordinates are offset by ``origin`` (defaults to the masked min corner)
+    and clamped to [0, 2^bits); 3*bits must be < 31.
+    """
+    assert 3 * bits < 31
+    coords = voxel_coords(points, resolution)
+    if origin is None:
+        big = jnp.iinfo(jnp.int32).max
+        origin = jnp.min(jnp.where(mask[:, None], coords, big), axis=0)
+    coords = jnp.clip(coords - origin, 0, (1 << bits) - 1)
+    key = (coords[:, 0] << (2 * bits)) | (coords[:, 1] << bits) | coords[:, 2]
+    key = jnp.where(mask, key, jnp.iinfo(jnp.int32).max)
+    return key, origin
+
+
+def _sorted_segments(points, mask, resolution):
+    """Sort points by voxel cell; return sorted pts, validity, first-in-run flags."""
+    coords = voxel_coords(points, resolution)
+    invalid = (~mask).astype(jnp.int32)
+    # lexicographic sort: invalid last, then by (ix, iy, iz)
+    inv_s, ix_s, iy_s, iz_s, px, py, pz = jax.lax.sort(
+        (invalid, coords[:, 0], coords[:, 1], coords[:, 2],
+         points[:, 0], points[:, 1], points[:, 2]),
+        num_keys=4,
+    )
+    valid_s = inv_s == 0
+    same = (
+        (ix_s[1:] == ix_s[:-1])
+        & (iy_s[1:] == iy_s[:-1])
+        & (iz_s[1:] == iz_s[:-1])
+    )
+    first = jnp.concatenate([jnp.ones((1,), bool), ~same]) & valid_s
+    pts_s = jnp.stack([px, py, pz], axis=-1)
+    coords_s = jnp.stack([ix_s, iy_s, iz_s], axis=-1)
+    return pts_s, coords_s, valid_s, first
+
+
+def voxel_downsample(cloud: MaskedCloud, resolution, capacity_out=None) -> MaskedCloud:
+    """Centroid per occupied voxel (pcl::VoxelGrid semantics).
+
+    Voxels beyond ``capacity_out`` (in cell-sorted order) are dropped; choose
+    capacity generously. Output is compacted (valid prefix).
+    """
+    n = cloud.capacity
+    if capacity_out is None:
+        capacity_out = n
+    pts_s, _, valid_s, first = _sorted_segments(cloud.points, cloud.mask, resolution)
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg = jnp.where(valid_s, seg, capacity_out)  # drop invalid
+    sums = jax.ops.segment_sum(pts_s, seg, num_segments=capacity_out + 1)[:-1]
+    cnts = jax.ops.segment_sum(
+        jnp.ones((n,), pts_s.dtype), seg, num_segments=capacity_out + 1
+    )[:-1]
+    mask_out = cnts > 0
+    centroids = sums / jnp.maximum(cnts, 1.0)[:, None]
+    return MaskedCloud(jnp.where(mask_out[:, None], centroids, 0.0), mask_out)
+
+
+def occupied_voxel_centers(cloud: MaskedCloud, resolution, capacity_out=None) -> MaskedCloud:
+    """Center of each occupied voxel (pcl octree getOccupiedVoxelCenters
+    semantics, map_cloud_generator.cpp:38-49)."""
+    n = cloud.capacity
+    if capacity_out is None:
+        capacity_out = n
+    _, coords_s, valid_s, first = _sorted_segments(cloud.points, cloud.mask, resolution)
+    take = first & valid_s
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg = jnp.where(take, seg, capacity_out)
+    centers = (coords_s.astype(cloud.points.dtype) + 0.5) * resolution
+    out = jax.ops.segment_sum(centers, seg, num_segments=capacity_out + 1)[:-1]
+    cnt = jax.ops.segment_sum(
+        jnp.ones((n,), cloud.points.dtype), seg, num_segments=capacity_out + 1
+    )[:-1]
+    mask_out = cnt > 0
+    return MaskedCloud(jnp.where(mask_out[:, None], out, 0.0), mask_out)
+
+
+class VoxelHash(NamedTuple):
+    """Sorted-unique-key voxel table for O(log V) lookups via searchsorted.
+
+    The kd-tree replacement for registration correspondence: stores per-voxel
+    statistics (count, mean, covariance) plus the sorted point order for
+    neighbor gathers.
+    """
+
+    keys: jnp.ndarray        # (V,) int32 sorted unique cell keys (pad = INT32_MAX)
+    counts: jnp.ndarray      # (V,) float
+    means: jnp.ndarray       # (V, 3)
+    covs: jnp.ndarray        # (V, 3, 3)  E[xx^T] - mean mean^T (population)
+    starts: jnp.ndarray      # (V,) int32 start index into sorted points
+    sorted_points: jnp.ndarray  # (N, 3) points sorted by cell key
+    sorted_valid: jnp.ndarray   # (N,) bool
+    origin: jnp.ndarray      # (3,) int32 cell-coordinate offset
+    resolution: jnp.ndarray  # () float
+    bits: int
+
+
+def build_voxel_hash(cloud: MaskedCloud, resolution, capacity_voxels, bits=10) -> VoxelHash:
+    """Build the voxel stats table for a target cloud."""
+    n = cloud.capacity
+    key, origin = voxel_keys(cloud.points, cloud.mask, resolution, bits=bits)
+    key_s, px, py, pz = jax.lax.sort(
+        (key, cloud.points[:, 0], cloud.points[:, 1], cloud.points[:, 2]),
+        num_keys=1,
+    )
+    pts_s = jnp.stack([px, py, pz], axis=-1)
+    valid_s = key_s != jnp.iinfo(jnp.int32).max
+    first = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]]) & valid_s
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    segd = jnp.where(valid_s, seg, capacity_voxels)
+    V = capacity_voxels
+    cnt = jax.ops.segment_sum(jnp.ones((n,), pts_s.dtype), segd, num_segments=V + 1)[:-1]
+    psum = jax.ops.segment_sum(pts_s, segd, num_segments=V + 1)[:-1]
+    outer = pts_s[:, :, None] * pts_s[:, None, :]
+    osum = jax.ops.segment_sum(outer, segd, num_segments=V + 1)[:-1]
+    cnt_safe = jnp.maximum(cnt, 1.0)
+    means = psum / cnt_safe[:, None]
+    covs = osum / cnt_safe[:, None, None] - means[:, :, None] * means[:, None, :]
+    # representative key and start index per segment
+    keys_u = jax.ops.segment_min(
+        jnp.where(valid_s, key_s, jnp.iinfo(jnp.int32).max), segd, num_segments=V + 1
+    )[:-1]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    starts = jax.ops.segment_min(
+        jnp.where(valid_s, idx, n), segd, num_segments=V + 1
+    )[:-1]
+    return VoxelHash(
+        keys=keys_u.astype(jnp.int32),
+        counts=cnt,
+        means=means,
+        covs=covs,
+        starts=starts.astype(jnp.int32),
+        sorted_points=pts_s,
+        sorted_valid=valid_s,
+        origin=origin,
+        resolution=jnp.asarray(resolution, pts_s.dtype),
+        bits=bits,
+    )
+
+
+def voxel_lookup(vh: VoxelHash, query_points, query_mask, offsets=None):
+    """Find the voxel slot for each query point (and optional neighbor cells).
+
+    offsets: (M, 3) int cell offsets (e.g. 7- or 27-neighborhood); default
+    just the containing cell. Returns (slots (N, M) int32, hit (N, M) bool).
+    """
+    if offsets is None:
+        offsets = jnp.zeros((1, 3), jnp.int32)
+    offsets = jnp.asarray(offsets, jnp.int32)
+    bits = vh.bits
+    coords = voxel_coords(query_points, vh.resolution) - vh.origin
+    cand = coords[:, None, :] + offsets[None, :, :]  # (N, M, 3)
+    in_range = jnp.all((cand >= 0) & (cand < (1 << bits)), axis=-1)
+    cand = jnp.clip(cand, 0, (1 << bits) - 1)
+    key = (cand[..., 0] << (2 * bits)) | (cand[..., 1] << bits) | cand[..., 2]
+    slot = jnp.searchsorted(vh.keys, key, side="left").astype(jnp.int32)
+    slot = jnp.clip(slot, 0, vh.keys.shape[0] - 1)
+    hit = (vh.keys[slot] == key) & in_range & query_mask[:, None]
+    return slot, hit

@@ -1,0 +1,312 @@
+"""The registration engine: one GN loop, four cost heads.
+
+Replaces the C++ registration libraries wholesale
+(/root/reference/src/hdl_graph_slam/registrations.cpp): instead of
+per-method kd-tree + OpenMP inner loops, every head reduces each iteration
+to (correspondence gather) -> (per-residual 3x6 Jacobian with 3x3
+information) -> (segment-summed 6x6 normal equations) -> (closed SE3
+update). The loop is a fixed-length ``lax.fori_loop`` with a convergence
+mask, so a whole batch of scan pairs vmaps onto one device program.
+
+Heads:
+- icp   : point-to-point, nearest neighbor, M = I
+- gicp  : fast_gicp semantics — per-point covariances (kNN k=20, 'plane'
+          regularized), NN correspondence, M = (C_b + R C_a R^T)^-1
+- vgicp : fast_vgicp — target voxel distributions, 27-neighborhood,
+          M = (S_v + R C_a R^T)^-1 per contributing voxel
+- ndt   : voxel Gaussians, DIRECT7/DIRECT1 neighborhoods, M = S_v^-1
+          (Mahalanobis GN; replaces Magnusson's exponential line search
+          with the same stationary points for well-conditioned voxels)
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..geom.se3 import se3_exp, _skew
+from ..ops.cloud import MaskedCloud
+from ..ops.knn import nn_1
+from ..ops.voxel import VoxelHash, build_voxel_hash, voxel_lookup
+from .config import RegistrationConfig
+from .covariance import knn_covariances, regularize_covariances
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class TargetModel(NamedTuple):
+    points: jnp.ndarray             # (M,3)
+    mask: jnp.ndarray               # (M,)
+    covs: Optional[jnp.ndarray]     # (M,3,3) regularized (gicp) or None
+    vh: Optional[VoxelHash]         # voxel table (vgicp/ndt) or None
+    voxel_covs: Optional[jnp.ndarray]      # (V,3,3) regularized voxel covs
+    voxel_inv_covs: Optional[jnp.ndarray]  # (V,3,3) inverses (ndt) or None
+
+
+class SourceModel(NamedTuple):
+    points: jnp.ndarray             # (N,3)
+    mask: jnp.ndarray               # (N,)
+    covs: Optional[jnp.ndarray]     # (N,3,3) regularized (gicp/vgicp) or None
+
+
+class RegistrationResult(NamedTuple):
+    transformation: jnp.ndarray     # (4,4) T s.t. T @ source ~ target
+    converged: jnp.ndarray          # () bool
+    iterations: jnp.ndarray         # () int32
+    num_correspondences: jnp.ndarray  # () int32
+    mean_error: jnp.ndarray         # () float — mean Mahalanobis residual
+    fitness: jnp.ndarray            # () float — mean sq euclidean distance
+
+
+def inv3x3(A, ridge=1e-9):
+    """Closed-form batched 3x3 inverse with a tiny ridge."""
+    A = A + ridge * jnp.eye(3, dtype=A.dtype)
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A11, A12, A13], -1),
+            jnp.stack([A21, A22, A23], -1),
+            jnp.stack([A31, A32, A33], -1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def _neighbor_offsets(n):
+    import numpy as np
+
+    if n == 1:
+        offs = [[0, 0, 0]]
+    elif n == 7:
+        offs = [[0, 0, 0], [1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                [0, 0, 1], [0, 0, -1]]
+    else:  # 27
+        offs = [[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1)
+                for k in (-1, 0, 1)]
+    return np.asarray(offs, np.int32)
+
+
+def _normal_equations(p, r, M, valid):
+    """Accumulate GN H (6,6) and b (6,) from residuals.
+
+    p: (K,3) transformed source points (Jacobian anchor)
+    r: (K,3) residuals, M: (K,3,3) information, valid: (K,) bool.
+    J_k = [I | -skew(p_k)] (3,6) for left-multiplicative se3 updates.
+    """
+    w = valid.astype(p.dtype)
+    Mw = M * w[:, None, None]
+    S = _skew(p)  # (K,3,3)
+    MS = Mw @ S  # (K,3,3) = M * skew(p)
+    StMS = jnp.swapaxes(S, -1, -2) @ MS
+    H_tt = jnp.sum(Mw, axis=0)
+    H_tw = -jnp.sum(MS, axis=0)
+    H_ww = jnp.sum(StMS, axis=0)
+    H = jnp.block([[H_tt, H_tw], [H_tw.T, H_ww]])
+    Mr = (Mw @ r[..., None])[..., 0]  # (K,3)
+    b_t = jnp.sum(Mr, axis=0)
+    # J_w = -skew(p), so b_w = J_w^T M r = (-S)^T M r = +S M r
+    b_w = jnp.sum((S @ Mr[..., None])[..., 0], axis=0)
+    b = jnp.concatenate([b_t, b_w])
+    err = jnp.sum(r * Mr)
+    return H, b, err
+
+
+def _ndt_gauss_d2(resolution, outlier_ratio):
+    """PCL NDT mixture coefficients; only d2 shapes the IRLS weight."""
+    import math
+
+    c1 = 10.0 * (1.0 - outlier_ratio)
+    c2 = outlier_ratio / resolution**3
+    d3 = -math.log(c2)
+    d1 = -math.log(c1 + c2) - d3
+    d2 = -2.0 * math.log(
+        (-math.log(c1 * math.exp(-0.5) + c2) - d3) / d1
+    )
+    return d2
+
+
+def _make_correspondence_fn(cfg: RegistrationConfig):
+    head = cfg.head
+    max_d2 = cfg.max_correspondence_distance**2
+    offsets = _neighbor_offsets(cfg.neighbor_offsets)
+    gauss_d2 = _ndt_gauss_d2(cfg.resolution, cfg.ndt_outlier_ratio) if head == "ndt" else None
+
+    def corr(T, src: SourceModel, tgt: TargetModel):
+        R = T[:3, :3]
+        p = jnp.matmul(src.points, R.T, precision=_HI) + T[:3, 3]
+        if head in ("icp", "gicp"):
+            d2, j = nn_1(p, src.mask, tgt.points, tgt.mask, chunk=cfg.chunk)
+            valid = src.mask & jnp.isfinite(d2) & (d2 < max_d2)
+            q = tgt.points[j]
+            r = p - q
+            if head == "icp":
+                M = jnp.broadcast_to(jnp.eye(3, dtype=p.dtype), r.shape + (3,))
+            else:
+                Ca = jnp.einsum("ab,nbc,dc->nad", R, src.covs, R, precision=_HI)
+                M = inv3x3(tgt.covs[j] + Ca)
+            return p, r, M, valid
+        # voxel heads: K = N * n_offsets residuals
+        slot, hit = voxel_lookup(tgt.vh, p, src.mask, offsets=offsets)
+        n, m = slot.shape
+        slot_f = slot.reshape(-1)
+        hit_f = hit.reshape(-1)
+        mu = tgt.vh.means[slot_f]
+        p_rep = jnp.repeat(p, m, axis=0)
+        r = p_rep - mu
+        d2 = jnp.sum(r * r, axis=-1)
+        valid = hit_f & (d2 < max_d2)
+        if head == "ndt":
+            M = tgt.voxel_inv_covs[slot_f]
+            # Magnusson's exponential score: IRLS weight saturates far pulls
+            # (replaces PCL NDT's -d1 exp(-d2/2 e2) score; same fixed points)
+            e2 = jnp.einsum("na,nab,nb->n", r, M, r)
+            w = jnp.exp(-0.5 * gauss_d2 * e2)
+            M = M * w[:, None, None]
+        else:  # vgicp
+            Ca = jnp.einsum("ab,nbc,dc->nad", R, src.covs, R, precision=_HI)
+            Ca_rep = jnp.repeat(Ca, m, axis=0)
+            M = inv3x3(tgt.voxel_covs[slot_f] + Ca_rep)
+        return p_rep, r, M, valid
+
+    return corr
+
+
+def _make_align_fn(cfg: RegistrationConfig):
+    corr = _make_correspondence_fn(cfg)
+    eps2 = cfg.transformation_epsilon**2
+    lam = cfg.lm_lambda
+
+    def align(src: SourceModel, tgt: TargetModel, guess):
+        T0 = jnp.asarray(guess, src.points.dtype)
+
+        def body(i, state):
+            T, done, iters = state
+            p, r, M, valid = corr(T, src, tgt)
+            H, b, _ = _normal_equations(p, r, M, valid)
+            H = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=H.dtype)
+            delta = -jnp.linalg.solve(H, b)
+            step_ok = jnp.all(jnp.isfinite(delta))
+            delta = jnp.where(step_ok, delta, jnp.zeros_like(delta))
+            T_new = se3_exp(delta) @ T
+            small = jnp.sum(delta * delta) < eps2
+            T = jnp.where(done, T, T_new)
+            iters = iters + jnp.where(done, 0, 1)
+            done = done | small
+            return T, done, iters
+
+        T, done, iters = jax.lax.fori_loop(
+            0, cfg.maximum_iterations, body,
+            (T0, jnp.asarray(False), jnp.asarray(0, jnp.int32)),
+        )
+        # final stats at the solution
+        p, r, M, valid = corr(T, src, tgt)
+        w = valid.astype(p.dtype)
+        ncorr = jnp.sum(valid)
+        cnt = jnp.maximum(ncorr.astype(p.dtype), 1.0)
+        Mr = (M @ r[..., None])[..., 0]
+        mean_err = jnp.sum(w * jnp.sum(r * Mr, -1)) / cnt
+        fitness = jnp.sum(w * jnp.sum(r * r, -1)) / cnt
+        return RegistrationResult(
+            transformation=T,
+            converged=done,
+            iterations=iters,
+            num_correspondences=ncorr.astype(jnp.int32),
+            mean_error=mean_err,
+            fitness=fitness,
+        )
+
+    return align
+
+
+class Registration:
+    """Stateful facade mirroring pcl::Registration usage:
+    set_target(cloud) once per keyframe, align(source, guess) per scan.
+    The underlying compute fns are jitted and reusable across instances.
+    """
+
+    def __init__(self, cfg: RegistrationConfig, capacity_voxels: int = 8192):
+        self.cfg = cfg
+        self.capacity_voxels = capacity_voxels
+        self._align = jax.jit(_make_align_fn(cfg))
+        self._target: Optional[TargetModel] = None
+
+    def build_target(self, cloud: MaskedCloud) -> TargetModel:
+        cfg = self.cfg
+        head = cfg.head
+        covs = vh = voxel_covs = voxel_inv = None
+        if head == "gicp":
+            covs, _ = knn_covariances(
+                cloud.points, cloud.mask, k=cfg.correspondence_randomness,
+                mode="plane", chunk=cfg.chunk,
+            )
+        if head in ("vgicp", "ndt"):
+            vh = build_voxel_hash(
+                cloud, cfg.resolution, self.capacity_voxels
+            )
+            mode = "plane" if head == "vgicp" else "floor"
+            voxel_covs = regularize_covariances(vh.covs, mode=mode)
+            # voxels with <5 points have unreliable covariances (PCL NDT gate)
+            bad = vh.counts < 5
+            voxel_covs = jnp.where(
+                bad[:, None, None], jnp.eye(3, dtype=voxel_covs.dtype), voxel_covs
+            )
+            if head == "ndt":
+                voxel_inv = inv3x3(voxel_covs)
+                voxel_inv = jnp.where(
+                    bad[:, None, None], jnp.zeros_like(voxel_inv), voxel_inv
+                )
+        return TargetModel(cloud.points, cloud.mask, covs, vh, voxel_covs, voxel_inv)
+
+    def build_source(self, cloud: MaskedCloud) -> SourceModel:
+        cfg = self.cfg
+        covs = None
+        if cfg.head in ("gicp", "vgicp"):
+            covs, _ = knn_covariances(
+                cloud.points, cloud.mask, k=cfg.correspondence_randomness,
+                mode="plane", chunk=cfg.chunk,
+            )
+        return SourceModel(cloud.points, cloud.mask, covs)
+
+    def set_target(self, cloud: MaskedCloud):
+        self._target = self.build_target(cloud)
+
+    def align(self, source, guess=None) -> RegistrationResult:
+        if self._target is None:
+            raise RuntimeError("set_target() before align()")
+        if isinstance(source, MaskedCloud):
+            source = self.build_source(source)
+        if guess is None:
+            guess = jnp.eye(4, dtype=source.points.dtype)
+        return self._align(source, self._target, guess)
+
+    def align_pair(self, source, target, guess=None) -> RegistrationResult:
+        if isinstance(target, MaskedCloud):
+            target = self.build_target(target)
+        if isinstance(source, MaskedCloud):
+            source = self.build_source(source)
+        if guess is None:
+            guess = jnp.eye(4, dtype=source.points.dtype)
+        return self._align(source, target, guess)
+
+
+def make_registration(method_or_cfg="NDT_OMP", **kw) -> Registration:
+    """Factory mirroring select_registration_method (registrations.cpp:22)."""
+    if isinstance(method_or_cfg, RegistrationConfig):
+        cfg = method_or_cfg
+    else:
+        cfg = RegistrationConfig(method=method_or_cfg, **kw)
+    return Registration(cfg)

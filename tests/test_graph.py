@@ -1,0 +1,231 @@
+"""Pose-graph solver tests: SE2/SE3 LM against closed-form / scipy oracles."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from delta_graph_slam_tpu.graph import (
+    SE2GraphBuilder, SE3GraphBuilder, SolverConfig,
+    optimize_se2, optimize_se3, robust_rho, robust_weight, kernel_id,
+)
+from delta_graph_slam_tpu.geom import se2_compose, se2_inverse
+
+RNG = np.random.default_rng(11)
+CFG_DENSE = SolverConfig(backend="dense", max_iterations=50)
+CFG_CG = SolverConfig(backend="cg", max_iterations=50, cg_max_iters=200)
+
+
+def relpose(a, b):
+    return np.asarray(se2_compose(se2_inverse(jnp.asarray(a)), jnp.asarray(b)))
+
+
+class TestRobust:
+    def test_huber(self):
+        e2 = jnp.asarray([0.5, 4.0])
+        ks = jnp.asarray([kernel_id("Huber")] * 2)
+        d = jnp.asarray([1.0, 1.0])
+        rho = np.asarray(robust_rho(e2, ks, d))
+        np.testing.assert_allclose(rho[0], 0.5)
+        np.testing.assert_allclose(rho[1], 2 * 1 * 2 - 1)  # 2*delta*sqrt(e2)-d2
+        w = np.asarray(robust_weight(e2, ks, d))
+        np.testing.assert_allclose(w, [1.0, 0.5])
+
+    def test_none_passthrough(self):
+        e2 = jnp.asarray([3.0])
+        ks = jnp.asarray([0])
+        rho = robust_rho(e2, ks, jnp.asarray([1.0]))
+        np.testing.assert_allclose(np.asarray(rho), [3.0])
+
+    def test_weight_is_rho_derivative(self):
+        """Finite-difference check for every kernel."""
+        from delta_graph_slam_tpu.graph.robust import ROBUST_KERNELS
+
+        e2 = np.linspace(0.1, 6.0, 13)
+        h = 1e-6
+        for k, name in enumerate(ROBUST_KERNELS):
+            ids = jnp.full(e2.shape, k, jnp.int32)
+            ds = jnp.full(e2.shape, 1.3)
+            r1 = np.asarray(robust_rho(jnp.asarray(e2 + h), ids, ds))
+            r0 = np.asarray(robust_rho(jnp.asarray(e2 - h), ids, ds))
+            w = np.asarray(robust_weight(jnp.asarray(e2), ids, ds))
+            np.testing.assert_allclose(
+                (r1 - r0) / (2 * h), w, atol=1e-4,
+                err_msg=f"kernel {name}",
+            )
+
+
+@pytest.mark.parametrize("cfg", [CFG_DENSE, CFG_CG], ids=["dense", "cg"])
+class TestSE2Optimize:
+    def _ring_graph(self, n=20, noise=0.05, seed=5):
+        """Noisy odometry around a circle + loop closure; gt recoverable."""
+        rng = np.random.default_rng(seed)
+        gt = []
+        for k in range(n):
+            ang = 2 * np.pi * k / n
+            gt.append([np.cos(ang) * 5, np.sin(ang) * 5, ang + np.pi / 2])
+        gt = np.asarray(gt)
+        b = SE2GraphBuilder()
+        # noisy initial estimates
+        for k in range(n):
+            p = gt[k] + rng.normal(0, noise, 3) * (k > 0)
+            b.add_vertex(p, fixed=(k == 0))
+        info = np.diag([100.0, 100.0, 400.0])
+        for k in range(n - 1):
+            meas = relpose(gt[k], gt[k + 1])
+            b.add_se2_edge(k, k + 1, meas, info)
+        b.add_se2_edge(n - 1, 0, relpose(gt[-1], gt[0]), info)
+        return b, gt
+
+    def test_ring_converges_to_gt(self, cfg):
+        b, gt = self._ring_graph()
+        g = b.to_arrays()
+        poses, stats = optimize_se2(g, level=0, config=cfg)
+        poses = np.asarray(poses)[: len(gt)]
+        assert float(stats.chi2_final) < 1e-9
+        err = np.linalg.norm(poses[:, :2] - gt[:, :2], axis=1)
+        np.testing.assert_array_less(err, 1e-4)
+
+    def test_priors(self, cfg):
+        b = SE2GraphBuilder()
+        b.add_vertex([0.0, 0.0, 0.0])
+        b.add_vertex([1.0, 0.0, 0.0])
+        info = np.eye(3)
+        # chain of redundant edges so the graph passes the min_edges gate
+        for _ in range(5):
+            b.add_se2_edge(0, 1, [1.0, 0.0, 0.0], info)
+        b.add_prior_xy(0, [2.0, 3.0], np.eye(2) * 1000)
+        for _ in range(4):
+            b.add_prior_yaw(1, 0.5, 1000.0)
+        g = b.to_arrays()
+        poses, stats = optimize_se2(g, level=0, config=cfg)
+        poses = np.asarray(poses)
+        np.testing.assert_allclose(poses[0][:2], [2.0, 3.0], atol=1e-2)
+        np.testing.assert_allclose(poses[1][2], 0.5, atol=1e-2)
+
+    def test_level_masking(self, cfg):
+        b = SE2GraphBuilder()
+        v0 = b.add_vertex([0.0, 0.0, 0.0], fixed=True)
+        v1 = b.add_vertex([1.0, 0.0, 0.0])
+        v2 = b.add_vertex([5.0, 5.0, 0.0])  # only touched by level-1 edge
+        info = np.eye(3) * 100
+        for _ in range(10):
+            b.add_se2_edge(v0, v1, [2.0, 0.0, 0.0], info, level=0)
+        b.add_se2_edge(v0, v2, [0.0, 1.0, 0.0], info, level=1)
+        g = b.to_arrays()
+        poses0, _ = optimize_se2(g, level=0, config=cfg)
+        poses0 = np.asarray(poses0)
+        # v1 moved to the level-0 measurement, v2 untouched
+        np.testing.assert_allclose(poses0[v1], [2.0, 0.0, 0.0], atol=1e-4)
+        np.testing.assert_allclose(poses0[v2], [5.0, 5.0, 0.0], atol=1e-12)
+
+    def test_fixed_vertices(self, cfg):
+        b = SE2GraphBuilder()
+        v0 = b.add_vertex([1.0, 1.0, 0.3], fixed=True)
+        v1 = b.add_vertex([0.0, 0.0, 0.0])
+        for _ in range(10):
+            b.add_se2_edge(v0, v1, [1.0, 0.0, 0.0], np.eye(3))
+        g = b.to_arrays()
+        poses, _ = optimize_se2(g, level=0, config=cfg)
+        poses = np.asarray(poses)
+        np.testing.assert_allclose(poses[v0], [1.0, 1.0, 0.3], atol=1e-12)
+        want = np.asarray(se2_compose(jnp.asarray(poses[v0]), jnp.asarray([1.0, 0, 0])))
+        np.testing.assert_allclose(poses[v1], want, atol=1e-6)
+
+    def test_huber_rejects_outlier_loop(self, cfg):
+        b, gt = self._ring_graph(noise=0.02)
+        # bogus loop closure with huber kernel: should be downweighted
+        b.add_se2_edge(3, 12, [20.0, 20.0, 1.0], np.eye(3) * 100,
+                       kernel="Huber", delta=1.0)
+        g = b.to_arrays()
+        poses, _ = optimize_se2(g, level=0, config=cfg)
+        poses = np.asarray(poses)[: len(gt)]
+        err = np.linalg.norm(poses[:, :2] - gt[:, :2], axis=1)
+        assert err.max() < 0.5  # without robustification this explodes
+
+    def test_min_edges_skip(self, cfg):
+        b = SE2GraphBuilder()
+        b.add_vertex([0.0, 0.0, 0.0])
+        b.add_vertex([3.0, 0.0, 0.0])
+        b.add_se2_edge(0, 1, [1.0, 0.0, 0.0], np.eye(3))
+        g = b.to_arrays()
+        poses, stats = optimize_se2(g, level=0, config=cfg)
+        np.testing.assert_allclose(np.asarray(poses)[:2, 0], [0.0, 3.0])
+        assert int(stats.iterations) == -1
+
+
+class TestSE3Optimize:
+    def _chain(self, n=8, seed=2):
+        rng = np.random.default_rng(seed)
+        gt_R = Rotation.random(n, random_state=np.random.RandomState(4))
+        gt_t = rng.uniform(-3, 3, (n, 3))
+        gts = []
+        for k in range(n):
+            T = np.eye(4)
+            T[:3, :3] = gt_R[k].as_matrix()
+            T[:3, 3] = gt_t[k]
+            gts.append(T)
+        return gts
+
+    def test_chain_converges(self):
+        gts = self._chain()
+        n = len(gts)
+        b = SE3GraphBuilder()
+        rng = np.random.default_rng(0)
+        for k, T in enumerate(gts):
+            Tn = T.copy()
+            if k > 0:
+                Tn[:3, 3] += rng.normal(0, 0.1, 3)
+            b.add_se3_node(Tn, fixed=(k == 0))
+        info = np.eye(6) * 100
+        for k in range(n - 1):
+            rel = np.linalg.inv(gts[k]) @ gts[k + 1]
+            b.add_se3_edge(k, k + 1, rel, info)
+        for k in range(n - 2):
+            rel = np.linalg.inv(gts[k]) @ gts[k + 2]
+            b.add_se3_edge(k, k + 2, rel, info)
+        g = b.to_arrays()
+        (poses, planes, points), stats = optimize_se3(g, level=0, config=CFG_CG)
+        poses = np.asarray(poses)[:n]
+        assert float(stats.chi2_final) < 1e-6
+        for k, T in enumerate(gts):
+            np.testing.assert_allclose(poses[k][:3], T[:3, 3], atol=1e-3)
+
+    def test_priors_and_plane(self):
+        b = SE3GraphBuilder()
+        T0 = np.eye(4)
+        v0 = b.add_se3_node(T0, fixed=True)
+        T1 = np.eye(4)
+        T1[:3, 3] = [1.0, 0.2, -0.1]
+        v1 = b.add_se3_node(T1)
+        # floor plane z=0: coeffs (0,0,1,0); plane vertex + se3-plane edges
+        p0 = b.add_plane_node([0.0, 0.0, 1.0, 0.0])
+        info6 = np.eye(6) * 10
+        rel = np.eye(4)
+        rel[:3, 3] = [1.0, 0.0, 0.0]
+        for _ in range(4):
+            b.add_se3_edge(v0, v1, rel, info6)
+        for v in (v0, v1):
+            b.add_se3_plane_edge(v, p0, [0.0, 0.0, 1.0, 0.0], np.eye(3) * 100)
+        b.add_se3_prior_xyz_edge(v1, [1.0, 0.0, 0.0], np.eye(3) * 100)
+        b.add_se3_prior_xy_edge(v1, [1.0, 0.0], np.eye(2) * 100)
+        b.add_se3_prior_quat_edge(v1, [1.0, 0.0, 0.0, 0.0], np.eye(3) * 100)
+        b.add_se3_prior_vec_edge(v1, [0.0, 0.0, 1.0], [0.0, 0.0, 1.0], np.eye(3) * 10)
+        g = b.to_arrays()
+        (poses, planes, points), stats = optimize_se3(g, level=0, config=CFG_CG)
+        poses = np.asarray(poses)
+        np.testing.assert_allclose(poses[v1][:3], [1.0, 0.0, 0.0], atol=1e-3)
+        q = poses[v1][3:7]
+        np.testing.assert_allclose(np.abs(q[0]), 1.0, atol=1e-3)
+
+    def test_plane_plane_edges(self):
+        b = SE3GraphBuilder()
+        v = b.add_se3_node(np.eye(4), fixed=True)
+        pa = b.add_plane_node([0.0, 0.02, 1.0, -2.0])
+        pb = b.add_plane_node([0.0, 0.0, 1.0, -2.5], fixed=True)
+        for _ in range(10):
+            b.add_plane_identity_edge(pa, pb, np.zeros(4), np.eye(4) * 100)
+        g = b.to_arrays()
+        (poses, planes, _), stats = optimize_se3(g, level=0, config=CFG_CG)
+        planes = np.asarray(planes)
+        np.testing.assert_allclose(planes[pa], planes[pb], atol=1e-3)
