@@ -117,13 +117,18 @@ def _skew(w):
 
 
 def so3_exp(w):
-    """Rodrigues: rotation vector (...,3) -> rotation matrix (...,3,3)."""
+    """Rodrigues: rotation vector (...,3) -> rotation matrix (...,3,3).
+
+    NB: guards are on th^2 and the norm is only taken of a guarded value so
+    forward-mode autodiff at w = 0 stays finite (the 6-dof pose-graph
+    Jacobians differentiate through here at exactly zero).
+    """
     w = jnp.asarray(w)
-    th = jnp.linalg.norm(w, axis=-1)
-    small = th < 1e-8
-    th_safe = jnp.where(small, jnp.ones_like(th), th)
-    A = jnp.where(small, 1.0 - th * th / 6.0, jnp.sin(th_safe) / th_safe)
-    B = jnp.where(small, 0.5 - th * th / 24.0, (1.0 - jnp.cos(th_safe)) / th_safe**2)
+    th2 = jnp.sum(w * w, axis=-1)
+    small = th2 < 1e-16
+    th_safe = jnp.sqrt(jnp.where(small, jnp.ones_like(th2), th2))
+    A = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th_safe) / th_safe)
+    B = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(th_safe)) / th_safe**2)
     K = _skew(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
     return eye + A[..., None, None] * K + B[..., None, None] * (K @ K)
@@ -151,14 +156,14 @@ def so3_log(R):
 
 
 def se3_exp(xi):
-    """xi (...,6) = [v, w] -> homogeneous (...,4,4)."""
+    """xi (...,6) = [v, w] -> homogeneous (...,4,4). Autodiff-safe at 0."""
     xi = jnp.asarray(xi)
     v, w = xi[..., :3], xi[..., 3:]
-    th = jnp.linalg.norm(w, axis=-1)
-    small = th < 1e-8
-    th_safe = jnp.where(small, jnp.ones_like(th), th)
-    B = jnp.where(small, 0.5 - th * th / 24.0, (1.0 - jnp.cos(th_safe)) / th_safe**2)
-    C = jnp.where(small, 1.0 / 6.0 - th * th / 120.0, (th_safe - jnp.sin(th_safe)) / th_safe**3)
+    th2 = jnp.sum(w * w, axis=-1)
+    small = th2 < 1e-16
+    th_safe = jnp.sqrt(jnp.where(small, jnp.ones_like(th2), th2))
+    B = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(th_safe)) / th_safe**2)
+    C = jnp.where(small, 1.0 / 6.0 - th2 / 120.0, (th_safe - jnp.sin(th_safe)) / th_safe**3)
     K = _skew(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), K.shape)
     V = eye + B[..., None, None] * K + C[..., None, None] * (K @ K)

@@ -481,7 +481,7 @@ class SE3GraphBuilder:
         edges = SE3Edges(J(e["i"]), J(e["j"]), J(e["meas"]), J(e["info"]),
                          J(e["level"]), J(e["kernel"]), J(e["delta"]), J(e["mask"]))
         # identity quaternion for padded measurement slots
-        fixq = np.asarray(edges.meas)
+        fixq = np.array(edges.meas)
         fixq[~np.asarray(edges.mask), 3] = 1.0
         edges = edges._replace(meas=J(fixq))
         e = self._pack("xy", ("i",), (2,), (2, 2))

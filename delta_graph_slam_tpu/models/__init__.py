@@ -11,9 +11,13 @@
 from .prefiltering import PrefilteringConfig, PrefilteringStage
 from .scan_matching_odometry import OdometryConfig, ScanMatchingOdometry, OdometryFrame
 from .floor_detection import FloorDetectionConfig, FloorDetectionStage
+from .delta_backend import DeltaBackendConfig, DeltaBackend
+from .hdl_backend import HdlBackendConfig, HdlBackend
 
 __all__ = [
     "PrefilteringConfig", "PrefilteringStage",
     "OdometryConfig", "ScanMatchingOdometry", "OdometryFrame",
     "FloorDetectionConfig", "FloorDetectionStage",
+    "DeltaBackendConfig", "DeltaBackend",
+    "HdlBackendConfig", "HdlBackend",
 ]

@@ -1,0 +1,374 @@
+"""SE3 graph-SLAM backend (hdl_graph_slam capability parity).
+
+The delta fork drops HdlGraphSlamNodelet's source but keeps the capability
+surface: SE3 vertices, floor-plane edges, IMU gravity/orientation edges,
+GPS position priors, loop closure (SURVEY.md section 1; the g2o types are
+registered at /root/reference/src/hdl_graph_slam/graph_slam.cpp:36-47 and
+the hdl launch files wire the flags). This backend rebuilds that pipeline
+on the SE3 solver:
+
+- odometry edges       EdgeSE3 between consecutive keyframes
+- floor edges          EdgeSE3Plane against one global floor plane vertex
+- IMU acceleration     EdgeSE3PriorVec (gravity direction [0,0,1])
+- IMU orientation      EdgeSE3PriorQuat
+- GPS                  EdgeSE3PriorXY / PriorXYZ selected by stddev config
+- loop closures        EdgeSE3 with robust kernel
+"""
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..geom.se3 import transform_3d_to_2d
+from ..geom.projection import mercator_from_gps, mercator_scale
+from ..graph import SE3GraphBuilder, SolverConfig, optimize_se3
+from ..pipeline import (
+    InformationMatrixCalculator,
+    KeyFrame,
+    KeyFrameSnapshot,
+    KeyframeUpdater,
+    LoopDetector,
+    MapCloudGenerator,
+)
+from ..register import RegistrationConfig, make_registration
+from ..io.pcd import save_pcd
+from ..utils.profiling import StageTimer
+
+
+@dataclasses.dataclass(frozen=True)
+class HdlBackendConfig:
+    max_keyframes_per_update: int = 10
+    keyframe_delta_trans: float = 2.0
+    keyframe_delta_angle: float = 2.0
+    fix_first_node: bool = True
+    fix_first_node_adaptive: bool = True
+    g2o_solver_num_iterations: int = 512
+    # floor
+    enable_floor: bool = True
+    floor_edge_stddev: float = 10.0
+    floor_edge_robust_kernel: str = "NONE"
+    floor_edge_robust_kernel_size: float = 1.0
+    # imu
+    enable_imu_acceleration: bool = False
+    enable_imu_orientation: bool = False
+    imu_acceleration_stddev: float = 3.0
+    imu_orientation_stddev: float = 0.1
+    imu_edge_robust_kernel: str = "NONE"
+    imu_edge_robust_kernel_size: float = 1.0
+    # gps
+    enable_gps: bool = True
+    gps_edge_stddev_xy: float = 10000.0
+    gps_edge_stddev_z: float = 0.0        # >0 -> full xyz prior
+    gps_time_offset: float = 0.0
+    gps_edge_robust_kernel: str = "NONE"
+    gps_edge_robust_kernel_size: float = 1.0
+    # loop closure
+    distance_thresh: float = 5.0
+    accum_distance_thresh: float = 8.0
+    min_edge_interval: float = 5.0
+    fitness_score_thresh: float = 0.5
+    loop_closure_edge_robust_kernel: str = "Huber"
+    loop_closure_edge_robust_kernel_size: float = 1.0
+    odometry_edge_robust_kernel: str = "NONE"
+    odometry_edge_robust_kernel_size: float = 1.0
+    registration: RegistrationConfig = dataclasses.field(
+        default_factory=lambda: RegistrationConfig(method="NDT_OMP",
+                                                   resolution=1.0)
+    )
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    inf: InformationMatrixCalculator = dataclasses.field(
+        default_factory=InformationMatrixCalculator
+    )
+
+
+class HdlBackend:
+    def __init__(self, cfg: HdlBackendConfig = HdlBackendConfig()):
+        self.cfg = cfg
+        self.graph = SE3GraphBuilder()
+        self.keyframe_updater = KeyframeUpdater(
+            cfg.keyframe_delta_trans, cfg.keyframe_delta_angle
+        )
+        self.registration = make_registration(cfg.registration)
+        self.loop_detector = LoopDetector(
+            self.registration,
+            distance_thresh=cfg.distance_thresh,
+            accum_distance_thresh=cfg.accum_distance_thresh,
+            min_edge_interval=cfg.min_edge_interval,
+            fitness_score_thresh=cfg.fitness_score_thresh,
+        )
+        self.inf_calculator = cfg.inf
+        self.map_generator = MapCloudGenerator()
+        self.timer = StageTimer()
+
+        self.keyframes: List[KeyFrame] = []
+        self.new_keyframes: List[KeyFrame] = []
+        self.keyframe_queue: List[KeyFrame] = []
+        self.floor_queue: List[tuple] = []   # (stamp, coeffs)
+        self.gps_queue: List[tuple] = []     # (stamp, lat, lon, alt)
+        self.imu_queue: List[tuple] = []     # (stamp, quat_wxyz, acc)
+        self.snapshots: List[KeyFrameSnapshot] = []
+
+        self.floor_plane_node: Optional[int] = None
+        self.anchor_node: Optional[int] = None
+        self.origin = None
+        self.scale = None
+        self._planes = None
+        self._points = None
+
+    # ------------------------------------------------------------- inputs
+    def cloud_callback(self, stamp, odom_4x4, cloud, gt_pose=None):
+        odom = np.asarray(odom_4x4, float)
+        odom2d = np.asarray(transform_3d_to_2d(jnp.asarray(odom)))
+        if not self.keyframe_updater.update(odom2d):
+            return
+        kf = KeyFrame(
+            stamp=stamp, odom=odom, odom2d=odom2d,
+            accum_distance=self.keyframe_updater.get_accum_distance(),
+            cloud=cloud, flat_cloud=None,
+            gt_pose=None if gt_pose is None else np.asarray(gt_pose),
+        )
+        self.keyframe_queue.append(kf)
+
+    def floor_coeffs_callback(self, stamp, coeffs):
+        if coeffs is not None:
+            self.floor_queue.append((stamp, np.asarray(coeffs, float)))
+
+    def gps_callback(self, stamp, lat, lon, alt=0.0):
+        if self.origin is None:
+            self.scale = float(mercator_scale(lat))
+            self.origin = np.asarray(
+                mercator_from_gps(np.float64(lat), np.float64(lon),
+                                  np.float64(alt), scale=self.scale)
+            )
+        self.gps_queue.append((stamp + self.cfg.gps_time_offset, lat, lon, alt))
+
+    def imu_callback(self, stamp, quat_wxyz, linear_acceleration):
+        self.imu_queue.append(
+            (stamp, np.asarray(quat_wxyz, float),
+             np.asarray(linear_acceleration, float))
+        )
+
+    # ----------------------------------------------------------- flushing
+    def flush_keyframe_queue(self) -> bool:
+        if not self.keyframe_queue:
+            return False
+        n = min(len(self.keyframe_queue), self.cfg.max_keyframes_per_update)
+        for i in range(n):
+            kf = self.keyframe_queue[i]
+            self.new_keyframes.append(kf)
+            kf.node_id = self.graph.add_se3_node(kf.odom)
+            if not self.keyframes and len(self.new_keyframes) == 1:
+                if self.cfg.fix_first_node:
+                    self.anchor_node = self.graph.add_se3_node(
+                        np.eye(4), fixed=True
+                    )
+                    self.graph.add_se3_edge(
+                        self.anchor_node, kf.node_id, np.eye(4), np.eye(6)
+                    )
+                continue
+            prev = self.keyframes[-1] if i == 0 else self.keyframe_queue[i - 1]
+            rel = np.linalg.inv(prev.odom) @ kf.odom
+            info = self._se3_info(
+                self.inf_calculator.calc_information_matrix(
+                    prev.cloud, kf.cloud, np.linalg.inv(rel)
+                )
+            )
+            self.graph.add_se3_edge(
+                prev.node_id, kf.node_id, rel, info,
+                kernel=self.cfg.odometry_edge_robust_kernel,
+                delta=self.cfg.odometry_edge_robust_kernel_size,
+            )
+        del self.keyframe_queue[:n]
+        return True
+
+    @staticmethod
+    def _se3_info(info3):
+        """Lift the SE2 (x,y,yaw) information onto SE3 (t, w) blocks."""
+        info = np.eye(6)
+        info[:2, :2] = info3[:2, :2]
+        info[2, 2] = info3[:2, :2].mean()
+        info[3:, 3:] = np.eye(3) * info3[2, 2]
+        return info
+
+    def flush_floor_queue(self) -> bool:
+        if not self.cfg.enable_floor or not self.floor_queue:
+            return False
+        if not (self.keyframes or self.new_keyframes):
+            return False
+        updated = False
+        allk = self.keyframes + self.new_keyframes
+        for stamp, coeffs in self.floor_queue:
+            # closest keyframe within 0.1 s
+            dt = [abs(k.stamp - stamp) for k in allk]
+            j = int(np.argmin(dt))
+            if dt[j] > 0.1:
+                continue
+            kf = allk[j]
+            if self.floor_plane_node is None:
+                self.floor_plane_node = self.graph.add_plane_node(
+                    [0.0, 0.0, 1.0, 0.0]
+                )
+            info = np.eye(3) / (self.cfg.floor_edge_stddev**2)
+            self.graph.add_se3_plane_edge(
+                kf.node_id, self.floor_plane_node, coeffs, info,
+                kernel=self.cfg.floor_edge_robust_kernel,
+                delta=self.cfg.floor_edge_robust_kernel_size,
+            )
+            updated = True
+        self.floor_queue = []
+        return updated
+
+    def flush_gps_queue(self) -> bool:
+        if not self.cfg.enable_gps or not self.gps_queue or not self.keyframes:
+            return False
+        updated = False
+        stamps = [g[0] for g in self.gps_queue]
+        for kf in self.keyframes:
+            if kf.gps_coord is not None:
+                continue
+            dt = [abs(s - kf.stamp) for s in stamps]
+            j = int(np.argmin(dt))
+            if dt[j] > 0.2:
+                continue
+            _, lat, lon, alt = self.gps_queue[j]
+            xyz = np.asarray(
+                mercator_from_gps(np.float64(lat), np.float64(lon),
+                                  np.float64(alt), scale=self.scale)
+            ) - self.origin
+            kf.gps_coord = xyz[:2]
+            if self.cfg.gps_edge_stddev_z > 0:
+                info = np.diag([
+                    1.0 / self.cfg.gps_edge_stddev_xy,
+                    1.0 / self.cfg.gps_edge_stddev_xy,
+                    1.0 / self.cfg.gps_edge_stddev_z,
+                ])
+                self.graph.add_se3_prior_xyz_edge(
+                    kf.node_id, xyz, info,
+                    kernel=self.cfg.gps_edge_robust_kernel,
+                    delta=self.cfg.gps_edge_robust_kernel_size,
+                )
+            else:
+                info = np.eye(2) / self.cfg.gps_edge_stddev_xy
+                self.graph.add_se3_prior_xy_edge(
+                    kf.node_id, xyz[:2], info,
+                    kernel=self.cfg.gps_edge_robust_kernel,
+                    delta=self.cfg.gps_edge_robust_kernel_size,
+                )
+            updated = True
+        last = self.keyframes[-1].stamp
+        self.gps_queue = [g for g in self.gps_queue if g[0] > last]
+        return updated
+
+    def flush_imu_queue(self) -> bool:
+        if not self.imu_queue or not self.keyframes:
+            return False
+        if not (self.cfg.enable_imu_acceleration or self.cfg.enable_imu_orientation):
+            self.imu_queue = []
+            return False
+        updated = False
+        stamps = [m[0] for m in self.imu_queue]
+        for kf in self.keyframes:
+            dt = [abs(s - kf.stamp) for s in stamps]
+            j = int(np.argmin(dt))
+            if dt[j] > 0.1:
+                continue
+            _, quat, acc = self.imu_queue[j]
+            if self.cfg.enable_imu_orientation:
+                info = np.eye(3) / self.cfg.imu_orientation_stddev
+                self.graph.add_se3_prior_quat_edge(
+                    kf.node_id, quat, info,
+                    kernel=self.cfg.imu_edge_robust_kernel,
+                    delta=self.cfg.imu_edge_robust_kernel_size,
+                )
+                updated = True
+            if self.cfg.enable_imu_acceleration and np.linalg.norm(acc) > 1e-3:
+                info = np.eye(3) / self.cfg.imu_acceleration_stddev
+                self.graph.add_se3_prior_vec_edge(
+                    kf.node_id, [0.0, 0.0, 1.0], acc, info,
+                    kernel=self.cfg.imu_edge_robust_kernel,
+                    delta=self.cfg.imu_edge_robust_kernel_size,
+                )
+                updated = True
+        last = self.keyframes[-1].stamp
+        self.imu_queue = [m for m in self.imu_queue if m[0] > last]
+        return updated
+
+    # --------------------------------------------------------- optimization
+    @property
+    def poses2d(self):
+        """(V,3) SE2 projections of the SE3 keyframe estimates (for the
+        shared loop detector / marker interfaces)."""
+        if not self.graph.poses:
+            return np.zeros((0, 3))
+        from ..geom.se3 import quat_to_rot
+
+        out = np.zeros((len(self.graph.poses), 3))
+        for i, p in enumerate(self.graph.poses):
+            R = np.asarray(quat_to_rot(jnp.asarray(p[3:7])))
+            T = np.eye(4)
+            T[:3, :3] = R
+            T[:3, 3] = p[:3]
+            out[i] = np.asarray(transform_3d_to_2d(jnp.asarray(T)))
+        return out
+
+    def optimization_step(self) -> dict:
+        stats = {}
+        kf_updated = self.flush_keyframe_queue()
+        floor_updated = self.flush_floor_queue()
+        gps_updated = self.flush_gps_queue()
+        imu_updated = self.flush_imu_queue()
+        if not (kf_updated or floor_updated or gps_updated or imu_updated):
+            return stats
+
+        with self.timer.stage("loop_detection"):
+            loops = self.loop_detector.detect(
+                self.keyframes, self.new_keyframes, self.poses2d
+            )
+        for loop in loops:
+            rel = loop.relative_pose
+            info = self._se3_info(
+                self.inf_calculator.calc_information_matrix(
+                    loop.key1.cloud, loop.key2.cloud, rel
+                )
+            )
+            self.graph.add_se3_edge(
+                loop.key1.node_id, loop.key2.node_id, rel, info,
+                kernel=self.cfg.loop_closure_edge_robust_kernel,
+                delta=self.cfg.loop_closure_edge_robust_kernel_size,
+            )
+        stats["loops"] = len(loops)
+
+        self.keyframes.extend(self.new_keyframes)
+        self.new_keyframes = []
+
+        with self.timer.stage("optimize"):
+            g = self.graph.to_arrays()
+            cfg = dataclasses.replace(
+                self.cfg.solver,
+                max_iterations=min(self.cfg.solver.max_iterations,
+                                   self.cfg.g2o_solver_num_iterations),
+            )
+            (poses, planes, points), s = optimize_se3(g, level=0, config=cfg)
+            self.graph.update_from(
+                np.asarray(poses), np.asarray(planes), np.asarray(points)
+            )
+        stats["chi2"] = float(s.chi2_final)
+
+        poses2d = self.poses2d
+        self.snapshots = [
+            KeyFrameSnapshot(pose=poses2d[kf.node_id], cloud=kf.cloud)
+            for kf in self.keyframes
+        ]
+        return stats
+
+    def save_map(self, destination, resolution=0.05) -> bool:
+        import os
+
+        os.makedirs(destination, exist_ok=True)
+        cloud = self.map_generator.generate(self.snapshots, resolution)
+        if cloud is None or not len(cloud):
+            return False
+        save_pcd(os.path.join(destination, "map.pcd"), cloud)
+        return True

@@ -12,5 +12,14 @@ __all__ = [
     "KeyFrame", "KeyFrameSnapshot", "KeyframeUpdater",
     "InformationMatrixCalculator", "fitness_score",
     "LoopDetector", "Loop", "MapCloudGenerator",
-    "BoundedQueue", "Watermark",
+    "BoundedQueue", "Watermark", "Pipeline",
 ]
+
+
+def __getattr__(name):
+    # lazy to avoid a circular import (runner -> config -> models -> pipeline)
+    if name == "Pipeline":
+        from .runner import Pipeline
+
+        return Pipeline
+    raise AttributeError(name)

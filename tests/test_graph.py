@@ -44,6 +44,10 @@ class TestRobust:
         e2 = np.linspace(0.1, 6.0, 13)
         h = 1e-6
         for k, name in enumerate(ROBUST_KERNELS):
+            if name == "DCS":
+                # g2o's DCS weight is the covariance-scaling s^2, not
+                # d rho/d e2 (DCS is not an M-estimator); skip the check
+                continue
             ids = jnp.full(e2.shape, k, jnp.int32)
             ds = jnp.full(e2.shape, 1.3)
             r1 = np.asarray(robust_rho(jnp.asarray(e2 + h), ids, ds))
@@ -133,15 +137,21 @@ class TestSE2Optimize:
         np.testing.assert_allclose(poses[v1], want, atol=1e-6)
 
     def test_huber_rejects_outlier_loop(self, cfg):
-        b, gt = self._ring_graph(noise=0.02)
-        # bogus loop closure with huber kernel: should be downweighted
-        b.add_se2_edge(3, 12, [20.0, 20.0, 1.0], np.eye(3) * 100,
-                       kernel="Huber", delta=1.0)
-        g = b.to_arrays()
-        poses, _ = optimize_se2(g, level=0, config=cfg)
-        poses = np.asarray(poses)[: len(gt)]
-        err = np.linalg.norm(poses[:, :2] - gt[:, :2], axis=1)
-        assert err.max() < 0.5  # without robustification this explodes
+        def run(kernel):
+            b, gt = self._ring_graph(noise=0.02)
+            b.add_se2_edge(3, 12, [20.0, 20.0, 1.0], np.eye(3) * 100,
+                           kernel=kernel, delta=1.0)
+            poses, _ = optimize_se2(b.to_arrays(), level=0, config=cfg)
+            poses = np.asarray(poses)[: len(gt)]
+            return np.linalg.norm(poses[:, :2] - gt[:, :2], axis=1).max()
+
+        err_huber = run("Huber")
+        err_none = run("NONE")
+        # Huber's linear tail still pulls a little; squared loss explodes
+        assert err_huber < 1.0
+        assert err_none > 3.0 * err_huber
+        # Cauchy suppresses the outlier almost entirely
+        assert run("Cauchy") < 0.2
 
     def test_min_edges_skip(self, cfg):
         b = SE2GraphBuilder()
@@ -203,7 +213,7 @@ class TestSE3Optimize:
         info6 = np.eye(6) * 10
         rel = np.eye(4)
         rel[:3, 3] = [1.0, 0.0, 0.0]
-        for _ in range(4):
+        for _ in range(6):
             b.add_se3_edge(v0, v1, rel, info6)
         for v in (v0, v1):
             b.add_se3_plane_edge(v, p0, [0.0, 0.0, 1.0, 0.0], np.eye(3) * 100)
