@@ -30,11 +30,24 @@ def plane_normalize(coeffs):
 
 
 def plane_azimuth(n):
-    return jnp.arctan2(n[..., 1], n[..., 0])
+    """atan2(ny, nx), autodiff-safe at the pole (nx = ny = 0 -> 0).
+
+    g2o's Plane3D uses plain atan2 with numeric Jacobians; analytic
+    forward-mode needs the frozen branch to avoid NaN tangents for
+    horizontal planes (the floor normal [0,0,1] is the common case)."""
+    xy2 = n[..., 0] ** 2 + n[..., 1] ** 2
+    safe = xy2 > 1e-20
+    nx = jnp.where(safe, n[..., 0], 1.0)
+    ny = jnp.where(safe, n[..., 1], 0.0)
+    return jnp.where(safe, jnp.arctan2(ny, nx), 0.0)
 
 
 def plane_elevation(n):
-    return jnp.arctan2(n[..., 2], jnp.hypot(n[..., 0], n[..., 1]))
+    xy2 = n[..., 0] ** 2 + n[..., 1] ** 2
+    safe = xy2 > 1e-20
+    denom = jnp.sqrt(jnp.where(safe, xy2, 1.0))
+    pole = jnp.where(n[..., 2] >= 0, jnp.pi / 2, -jnp.pi / 2)
+    return jnp.where(safe, jnp.arctan2(n[..., 2], denom), pole)
 
 
 def plane_rotation(n):
@@ -43,11 +56,11 @@ def plane_rotation(n):
     el = plane_elevation(n)
     ca, sa = jnp.cos(az), jnp.sin(az)
     ce, se = jnp.cos(el), jnp.sin(el)
-    # Rz(az) @ Ry(-el)
+    # Rz(az) @ Ry(-el): maps the x-axis onto the unit normal n
     rows = [
-        jnp.stack([ca * ce, -sa, ca * se], -1),
-        jnp.stack([sa * ce, ca, sa * se], -1),
-        jnp.stack([-se, jnp.zeros_like(ca), ce], -1),
+        jnp.stack([ca * ce, -sa, -ca * se], -1),
+        jnp.stack([sa * ce, ca, -sa * se], -1),
+        jnp.stack([se, jnp.zeros_like(ca), ce], -1),
     ]
     return jnp.stack(rows, -2)
 

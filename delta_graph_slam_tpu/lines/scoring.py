@@ -66,9 +66,13 @@ def line_to_line_distance(src_a, src_b, trg_a, trg_b):
         dist = _norm(tp - inter)
         pts.append((inter, dist, ok))  # event point = foot on src line
 
-    valid = jnp.stack([p[2] for p in pts], -1)          # (...,4)
-    dists = jnp.stack([p[1] for p in pts], -1)          # (...,4)
-    points = jnp.stack([p[0] for p in pts], -2)          # (...,4,2)
+    # broadcast all four events to the common pair shape before stacking
+    shape = jnp.broadcast_shapes(*(p[1].shape for p in pts))
+    valid = jnp.stack([jnp.broadcast_to(p[2], shape) for p in pts], -1)
+    dists = jnp.stack([jnp.broadcast_to(p[1], shape) for p in pts], -1)
+    points = jnp.stack(
+        [jnp.broadcast_to(p[0], shape + (2,)) for p in pts], -2
+    )  # (...,4,2)
     cum = jnp.cumsum(valid.astype(jnp.int32), -1)
     first = valid & (cum == 1)
     second = valid & (cum == 2)
@@ -133,7 +137,9 @@ def fitness_core(sa, sb, smask, trg, is_local, max_range=_INF):
     fs = line_to_line_distance(
         sa[..., :, None, :], sb[..., :, None, :], trg.a, trg.b
     )  # fields (...,Ls,Lt)
-    pvalid = smask[..., :, None] & trg.mask
+    pvalid = jnp.broadcast_to(
+        smask[..., :, None] & trg.mask, fs.real_avg_distance.shape
+    )
     key = jnp.where(pvalid, fs.real_avg_distance, _INF)
     nn = jnp.argmin(key, axis=-1)[..., None]
 
