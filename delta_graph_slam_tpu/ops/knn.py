@@ -122,7 +122,7 @@ def radius_count(points, mask, radius, *, chunk=2048):
         d2 = _dist2(points, tc)
         tglobal = ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
         valid = mc[None, :] & (tglobal[None, :] != qidx[:, None])
-        count = count + jnp.sum((d2 <= r2) & valid, axis=1)
+        count = count + jnp.sum((d2 <= r2) & valid, axis=1).astype(count.dtype)
         return count, None
 
     count, _ = jax.lax.scan(

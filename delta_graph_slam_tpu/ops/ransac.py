@@ -41,10 +41,11 @@ def ransac_plane(
     dist_thresh: float = 0.1,
     min_inliers: int = 512,
 ) -> RansacResult:
-    """Plane RANSAC over a *compacted* cloud. coeffs = unit-normal [a,b,c,d]."""
+    """Plane RANSAC on a masked cloud. coeffs = unit-normal [a,b,c,d]."""
     pts, mask = cloud.points, cloud.mask
     count = jnp.sum(mask).astype(jnp.int32)
-    idx = _sample_indices(key, n_hypotheses, 3, count)
+    order = jnp.argsort(~mask)
+    idx = order[_sample_indices(key, n_hypotheses, 3, count)]
     p0, p1, p2 = pts[idx[:, 0]], pts[idx[:, 1]], pts[idx[:, 2]]
     n = jnp.cross(p1 - p0, p2 - p0)
     nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
@@ -88,10 +89,13 @@ def _point_line_dist2_2d(pts, a, dirn):
 def ransac_line_single(pts, mask, key, n_hypotheses, dist_thresh):
     """One best line hypothesis on the masked 2-D cloud.
 
-    Returns (a (2,), dir unit (2,), inliers (N,) bool).
+    Returns (a (2,), dir unit (2,), inliers (N,) bool). Valid points need
+    not be a contiguous prefix: samples are drawn through a valid-first
+    permutation (the iterative extractor punches holes in the mask).
     """
     count = jnp.sum(mask).astype(jnp.int32)
-    idx = _sample_indices(key, n_hypotheses, 2, count)
+    order = jnp.argsort(~mask)  # valid indices first
+    idx = order[_sample_indices(key, n_hypotheses, 2, count)]
     p0 = pts[idx[:, 0], :2]
     p1 = pts[idx[:, 1], :2]
     d = p1 - p0

@@ -45,14 +45,14 @@ class RegistrationConfig:
     def neighbor_offsets(self) -> int:
         """Number of voxel neighbors searched (1, 7 or 27).
 
-        VGICP uses the containing voxel only (fast_vgicp's DIRECT1, its
-        fastest mode): with plane-regularized distributions, neighbor-voxel
-        residuals are unsaturated in plain GN and bias the equilibrium.
-        NDT keeps DIRECT7/DIRECT1 but saturates neighbor pulls with
-        Magnusson's exponential weight (see engine.py).
+        VGICP uses fast_vgicp's DIRECT27 default: every found neighbor
+        voxel contributes a distribution residual (this carries a small
+        voxel-quantization equilibrium bias, O(resolution/20), exactly as
+        the original). NDT uses DIRECT7/DIRECT1 with Magnusson's
+        exponential weight saturating far neighbor pulls (see engine.py).
         """
         if self.head == "vgicp":
-            return 1
+            return 27
         if self.head == "ndt":
             if self.nn_search_method.upper() == "DIRECT1":
                 return 1
