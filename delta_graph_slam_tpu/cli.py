@@ -1,0 +1,127 @@
+"""Command-line driver: replay datasets through the pipeline presets.
+
+The roslaunch-equivalent entry point:
+
+  python -m delta_graph_slam_tpu.cli run --preset delta --synthetic 100 \
+      --save-map /tmp/out --eval
+  python -m delta_graph_slam_tpu.cli run --preset delta --bag scans.npz
+  python -m delta_graph_slam_tpu.cli dump --out /tmp/graph
+  python -m delta_graph_slam_tpu.cli convert-kitti --velodyne-dir ... --out bag.npz
+"""
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _cmd_run(args):
+    from .config import get_preset
+    from .pipeline.runner import Pipeline
+    from .buildings import StaticProvider, FileProvider
+
+    cfg = get_preset(args.preset)
+    provider = None
+    frames = None
+    if args.synthetic:
+        from .io.kitti import synthetic_city_sequence
+
+        world, frames = synthetic_city_sequence(n_frames=args.synthetic)
+        provider = StaticProvider(world.osm_xml())
+    elif args.osm_file:
+        provider = FileProvider(args.osm_file)
+
+    pipe = Pipeline(cfg, building_provider=provider)
+
+    if frames is not None:
+        for fr in frames:
+            pipe.on_gps(fr.stamp, *fr.gps)
+            pipe.on_points(fr.stamp, fr.points, gt_pose=fr.gt_pose)
+    elif args.bag:
+        from .io.bag import Bag
+
+        bag = Bag.from_npz(args.bag)
+        for msg in bag:
+            if msg.topic == "points":
+                pipe.on_points(msg.stamp, np.asarray(msg.data))
+            elif msg.topic == "gps":
+                lat, lon, *alt = np.asarray(msg.data).tolist()
+                pipe.on_gps(msg.stamp, lat, lon, alt[0] if alt else 0.0)
+            elif msg.topic == "imu_quat":
+                pipe.on_imu(msg.stamp, np.asarray(msg.data))
+            elif msg.topic == "nmea":
+                pipe.on_nmea(msg.stamp, str(msg.data))
+    else:
+        print("need --synthetic N or --bag file", file=sys.stderr)
+        return 2
+
+    pipe.finish()
+    print(json.dumps({
+        "frames": pipe.frames_processed,
+        "keyframes": len(pipe.backend.keyframes),
+        "timing": pipe.timing_summary(),
+    }, indent=2))
+    if args.eval:
+        print(json.dumps({"metrics": pipe.evaluate()}, indent=2))
+    if args.save_map:
+        ok = pipe.save_map(args.save_map, resolution=args.resolution)
+        print(f"save_map -> {args.save_map}: {ok}")
+    if args.dump_graph and hasattr(pipe.backend, "dump_graph"):
+        pipe.backend.dump_graph(args.dump_graph)
+        print(f"dump_graph -> {args.dump_graph}")
+    return 0
+
+
+def _cmd_convert_kitti(args):
+    """KITTI raw velodyne dir (+ optional oxts) -> Bag npz (ford2bag.py's
+    role for our container format)."""
+    import glob
+    import os
+
+    from .io.bag import Bag, Message
+    from .native import load_kitti_bin
+
+    msgs = []
+    files = sorted(glob.glob(os.path.join(args.velodyne_dir, "*.bin")))
+    stamps = None
+    if args.timestamps and os.path.exists(args.timestamps):
+        with open(args.timestamps) as f:
+            stamps = [float(i) for i, _ in enumerate(f)]
+    for k, path in enumerate(files):
+        pts = load_kitti_bin(path)
+        stamp = stamps[k] if stamps else k * 0.1
+        msgs.append(Message(stamp, "points", pts))
+    Bag(msgs).save_npz(args.out)
+    print(f"wrote {len(msgs)} scans -> {args.out}")
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="delta_graph_slam_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="replay a dataset through a preset")
+    r.add_argument("--preset", default="delta")
+    r.add_argument("--synthetic", type=int, default=0,
+                   help="generate N synthetic city frames")
+    r.add_argument("--bag", help="Bag npz path")
+    r.add_argument("--osm-file", help="offline OSM XML for buildings")
+    r.add_argument("--save-map", help="output directory for map.pcd")
+    r.add_argument("--resolution", type=float, default=0.05)
+    r.add_argument("--eval", action="store_true", help="print ATE/RPE")
+    r.add_argument("--dump-graph", help="write g2o text + npz checkpoint")
+    r.set_defaults(fn=_cmd_run)
+
+    c = sub.add_parser("convert-kitti", help="KITTI raw -> bag npz")
+    c.add_argument("--velodyne-dir", required=True)
+    c.add_argument("--timestamps")
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=_cmd_convert_kitti)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

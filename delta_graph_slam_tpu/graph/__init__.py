@@ -28,6 +28,7 @@ from .se3_graph import (
     SE3GraphBuilder,
 )
 from .se3_solver import optimize_se3
+from .graph_io import save_g2o, load_g2o, save_npz, load_npz
 
 __all__ = [
     "ROBUST_KERNELS", "robust_rho", "robust_weight", "kernel_id",
@@ -36,4 +37,5 @@ __all__ = [
     "SE3Edges", "SE3PriorXYEdges", "SE3PriorXYZEdges", "SE3PriorVecEdges",
     "SE3PriorQuatEdges", "SE3PlaneEdges", "SE3Graph", "SE3GraphBuilder",
     "optimize_se3",
+    "save_g2o", "load_g2o", "save_npz", "load_npz",
 ]

@@ -267,7 +267,7 @@ class DeltaBackend:
 
             # initial-yaw bootstrap between 1st and 2nd keyframe (:295-314)
             if self.adjust_initial_orientation and not add_keyframe:
-                trans = np.asarray(
+                trans = np.array(
                     se2_compose(jnp.asarray(odom2map), jnp.asarray(odom_trans2d))
                 )
                 trans[:2] = 0.0
@@ -592,6 +592,19 @@ class DeltaBackend:
                          np.concatenate(raw))
                 save_pcd(os.path.join(destination, "aligned_b_map.pcd"),
                          np.concatenate(aligned))
+        return True
+
+    def dump_graph(self, destination) -> bool:
+        """DumpGraph service equivalent (srv/DumpGraph.srv; the reference
+        keeps GraphSLAM::save unused at graph_slam.cpp:354-361): writes the
+        g2o text graph + .kernels sidecar and the array checkpoint."""
+        import os
+
+        os.makedirs(destination, exist_ok=True)
+        from ..graph.graph_io import save_g2o, save_npz
+
+        save_g2o(self.graph, os.path.join(destination, "graph.g2o"))
+        save_npz(self.graph, os.path.join(destination, "graph.npz"))
         return True
 
     def compute_ate_rpe(self):

@@ -57,13 +57,14 @@ def _build_fn(cfg: FloorDetectionConfig):
         )
         pts = cloud.points @ tilt[:3, :3].T
         c = MaskedCloud(pts, cloud.mask)
+        # keep the band -(h+clip) < z < -(h-clip) (floor_detection:118-119)
         c = plane_clip(
             c, jnp.asarray([0.0, 0.0, 1.0, cfg.sensor_height + cfg.height_clip_range]),
-            negative=True,
+            negative=False,
         )
         c = plane_clip(
             c, jnp.asarray([0.0, 0.0, 1.0, cfg.sensor_height - cfg.height_clip_range]),
-            negative=False,
+            negative=True,
         )
         if cfg.use_normal_filtering:
             n, valid = estimate_normals(
