@@ -35,9 +35,16 @@ def _cmd_run(args):
     pipe = Pipeline(cfg, building_provider=provider)
 
     if frames is not None:
+        # ground truth anchored at the first frame (the reference harvests
+        # gt from tf relative to the run start, delta:172-195)
+        import jax.numpy as jnp
+        from .geom import se2_compose, se2_inverse
+
+        g0_inv = se2_inverse(jnp.asarray(frames[0].gt_pose))
         for fr in frames:
+            gt = np.asarray(se2_compose(g0_inv, jnp.asarray(fr.gt_pose)))
             pipe.on_gps(fr.stamp, *fr.gps)
-            pipe.on_points(fr.stamp, fr.points, gt_pose=fr.gt_pose)
+            pipe.on_points(fr.stamp, fr.points, gt_pose=gt)
     elif args.bag:
         from .io.bag import Bag
 
@@ -120,7 +127,11 @@ def main(argv=None):
     c.set_defaults(fn=_cmd_convert_kitti)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except (KeyError, FileNotFoundError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":
