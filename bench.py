@@ -46,8 +46,10 @@ def make_scene(seed, n=16384, extent=60.0):
         y = s * d + c * along
         z = rng.uniform(0, 5, per)
         walls.append(np.stack([x, y, z], 1))
-    pts = np.concatenate([ground] + walls)[:n]
-    pts = pts + rng.normal(0, 0.01, pts.shape)
+    pts = np.concatenate([ground] + walls)
+    if len(pts) < n:  # integer-division remainder: repeat a few points
+        pts = np.concatenate([pts, pts[: n - len(pts)]])
+    pts = pts[:n] + rng.normal(0, 0.01, (n, 3))
     return pts.astype(np.float32)
 
 
@@ -77,16 +79,18 @@ def bench_registration(n_frames=40, n_points=16384):
         (target_pts @ T[:3, :3].T + T[:3, 3]).astype(np.float32) for T in Ts
     ]
 
+    reg.set_target(ops.make_cloud(target_pts))
+    mask = jnp.ones((n_points,), bool)
+    eye = jnp.eye(4)
+
     # warmup (compile)
-    src = reg.build_source(ops.make_cloud(sources_np[0]))
-    res = reg._align(src, target, jnp.eye(4))
+    res = reg.align_cloud(ops.MaskedCloud(jnp.asarray(sources_np[0]), mask), eye)
     jax.block_until_ready(res.transformation)
 
     t0 = time.perf_counter()
     n_ok = 0
     for pts in sources_np:
-        src = reg.build_source(ops.make_cloud(pts))
-        res = reg._align(src, target, jnp.eye(4))
+        res = reg.align_cloud(ops.MaskedCloud(jnp.asarray(pts), mask), eye)
         jax.block_until_ready(res.transformation)
         n_ok += int(res.converged)
     dt = time.perf_counter() - t0

@@ -14,7 +14,7 @@ collisions), fully static shapes.
 in place of kd-trees: packed 30-bit cell keys + ``searchsorted`` queries.
 """
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -107,11 +107,13 @@ def occupied_voxel_centers(cloud: MaskedCloud, resolution, capacity_out=None) ->
 
 
 class VoxelHash(NamedTuple):
-    """Sorted-unique-key voxel table for O(log V) lookups via searchsorted.
+    """Sorted-unique-key voxel table: the kd-tree replacement.
 
-    The kd-tree replacement for registration correspondence: stores per-voxel
-    statistics (count, mean, covariance) plus the sorted point order for
-    neighbor gathers.
+    Two lookup paths:
+    - searchsorted over ``keys`` (O(log V), ~13 dependent gathers on TPU);
+    - optional dense direct-address index ``dense_slot`` (one gather): a
+      flat (2^bits)^2 * 2^zbits grid of slot ids, far faster on TPU where
+      binary search serializes into dependent gathers.
     """
 
     keys: jnp.ndarray        # (V,) int32 sorted unique cell keys (pad = INT32_MAX)
@@ -124,10 +126,19 @@ class VoxelHash(NamedTuple):
     origin: jnp.ndarray      # (3,) int32 cell-coordinate offset
     resolution: jnp.ndarray  # () float
     bits: int
+    dense_slot: Optional[jnp.ndarray] = None  # (G,) int32, -1 = empty cell
 
 
-def build_voxel_hash(cloud: MaskedCloud, resolution, capacity_voxels, bits=10) -> VoxelHash:
-    """Build the voxel stats table for a target cloud."""
+def build_voxel_hash(cloud: MaskedCloud, resolution, capacity_voxels, bits=10,
+                     dense_index=False, dense_bits=(8, 8, 6),
+                     with_stats=True) -> VoxelHash:
+    """Build the voxel stats table for a target cloud.
+
+    dense_index=True also scatters a direct-address (2^bx * 2^by * 2^bz)
+    slot grid (dense_bits per axis; 8,8,6 -> 4.2M int32 = 16 MB) so lookups
+    cost one gather instead of a binary search. with_stats=False skips the
+    per-voxel mean/covariance reductions (pure NN indexes don't need them).
+    """
     n = cloud.capacity
     key, origin = voxel_keys(cloud.points, cloud.mask, resolution, bits=bits)
     key_s, px, py, pz = jax.lax.sort(
@@ -141,12 +152,16 @@ def build_voxel_hash(cloud: MaskedCloud, resolution, capacity_voxels, bits=10) -
     segd = jnp.where(valid_s, seg, capacity_voxels)
     V = capacity_voxels
     cnt = jax.ops.segment_sum(jnp.ones((n,), pts_s.dtype), segd, num_segments=V + 1)[:-1]
-    psum = jax.ops.segment_sum(pts_s, segd, num_segments=V + 1)[:-1]
-    outer = pts_s[:, :, None] * pts_s[:, None, :]
-    osum = jax.ops.segment_sum(outer, segd, num_segments=V + 1)[:-1]
-    cnt_safe = jnp.maximum(cnt, 1.0)
-    means = psum / cnt_safe[:, None]
-    covs = osum / cnt_safe[:, None, None] - means[:, :, None] * means[:, None, :]
+    if with_stats:
+        psum = jax.ops.segment_sum(pts_s, segd, num_segments=V + 1)[:-1]
+        outer = pts_s[:, :, None] * pts_s[:, None, :]
+        osum = jax.ops.segment_sum(outer, segd, num_segments=V + 1)[:-1]
+        cnt_safe = jnp.maximum(cnt, 1.0)
+        means = psum / cnt_safe[:, None]
+        covs = osum / cnt_safe[:, None, None] - means[:, :, None] * means[:, None, :]
+    else:
+        means = jnp.zeros((V, 3), pts_s.dtype)
+        covs = jnp.zeros((V, 3, 3), pts_s.dtype)
     # representative key and start index per segment
     keys_u = jax.ops.segment_min(
         jnp.where(valid_s, key_s, jnp.iinfo(jnp.int32).max), segd, num_segments=V + 1
@@ -155,6 +170,22 @@ def build_voxel_hash(cloud: MaskedCloud, resolution, capacity_voxels, bits=10) -
     starts = jax.ops.segment_min(
         jnp.where(valid_s, idx, n), segd, num_segments=V + 1
     )[:-1]
+    dense = None
+    if dense_index:
+        bx, by, bz = dense_bits
+        ku = keys_u.astype(jnp.int32)
+        occupied = ku != jnp.iinfo(jnp.int32).max
+        ix = (ku >> (2 * bits)) & ((1 << bits) - 1)
+        iy = (ku >> bits) & ((1 << bits) - 1)
+        iz = ku & ((1 << bits) - 1)
+        in_box = occupied & (ix < (1 << bx)) & (iy < (1 << by)) & (iz < (1 << bz))
+        G = 1 << (bx + by + bz)
+        flat = (ix << (by + bz)) | (iy << bz) | iz
+        flat = jnp.where(in_box, flat, G)  # dropped by the +1 scatter pad
+        slots = jnp.arange(V, dtype=jnp.int32)
+        dense = (
+            jnp.full((G + 1,), -1, jnp.int32).at[flat].set(slots)[:G]
+        )
     return VoxelHash(
         keys=keys_u.astype(jnp.int32),
         counts=cnt,
@@ -166,14 +197,21 @@ def build_voxel_hash(cloud: MaskedCloud, resolution, capacity_voxels, bits=10) -
         origin=origin,
         resolution=jnp.asarray(resolution, pts_s.dtype),
         bits=bits,
+        dense_slot=dense,
     )
 
 
-def voxel_lookup(vh: VoxelHash, query_points, query_mask, offsets=None):
+DENSE_BITS = (8, 8, 6)  # default direct-address grid: 256 x 256 x 64 cells
+
+
+def voxel_lookup(vh: VoxelHash, query_points, query_mask, offsets=None,
+                 dense_bits=DENSE_BITS):
     """Find the voxel slot for each query point (and optional neighbor cells).
 
     offsets: (M, 3) int cell offsets (e.g. 7- or 27-neighborhood); default
     just the containing cell. Returns (slots (N, M) int32, hit (N, M) bool).
+    Uses the direct-address grid when the hash carries one (one gather per
+    candidate) and binary search otherwise.
     """
     if offsets is None:
         offsets = jnp.zeros((1, 3), jnp.int32)
@@ -181,6 +219,19 @@ def voxel_lookup(vh: VoxelHash, query_points, query_mask, offsets=None):
     bits = vh.bits
     coords = voxel_coords(query_points, vh.resolution) - vh.origin
     cand = coords[:, None, :] + offsets[None, :, :]  # (N, M, 3)
+    if vh.dense_slot is not None:
+        bx, by, bz = dense_bits
+        in_range = (
+            (cand[..., 0] >= 0) & (cand[..., 0] < (1 << bx))
+            & (cand[..., 1] >= 0) & (cand[..., 1] < (1 << by))
+            & (cand[..., 2] >= 0) & (cand[..., 2] < (1 << bz))
+        )
+        c = jnp.clip(cand, 0, jnp.asarray(
+            [(1 << bx) - 1, (1 << by) - 1, (1 << bz) - 1], jnp.int32))
+        flat = (c[..., 0] << (by + bz)) | (c[..., 1] << bz) | c[..., 2]
+        slot = vh.dense_slot[flat]
+        hit = (slot >= 0) & in_range & query_mask[:, None]
+        return jnp.maximum(slot, 0), hit
     in_range = jnp.all((cand >= 0) & (cand < (1 << bits)), axis=-1)
     cand = jnp.clip(cand, 0, (1 << bits) - 1)
     key = (cand[..., 0] << (2 * bits)) | (cand[..., 1] << bits) | cand[..., 2]

@@ -24,8 +24,18 @@ class RegistrationConfig:
     max_optimizer_iterations: int = 20    # accepted (GICP inner loop)
     # engine knobs (no reference analogue)
     lm_lambda: float = 1e-6               # tiny LM damping for GN robustness
-    chunk: int = 2048                     # NN tile size
+    chunk: int = 2048                     # NN tile size (brute path)
     ndt_outlier_ratio: float = 0.55       # PCL NDT outlier mixture weight
+    # correspondence search: 'voxel' bounds candidates to the 27-cell
+    # neighborhood of a spatial hash (fast, coverage radius ~ resolution);
+    # 'brute' is the exact tiled search (kd-tree-equivalent quality)
+    nn_method: str = "voxel"
+    nn_voxel_resolution: float = 1.0
+    nn_voxel_window: int = 8              # candidate points kept per cell
+    nn_voxel_cells: int = 7               # candidate cells (7 or 27); TPU
+                                          # gathers scale with cells*window
+    cov_voxel_window: int = 8             # candidates per cell for kNN covs
+    cov_voxel_cells: int = 7
 
     @property
     def head(self) -> str:

@@ -28,6 +28,7 @@ from ..geom.se3 import se3_exp, _skew
 from ..ops.cloud import MaskedCloud
 from ..ops.knn import nn_1
 from ..ops.voxel import VoxelHash, build_voxel_hash, voxel_lookup
+from ..ops.voxel_knn import voxel_nn, voxel_knn_covariances
 from .config import RegistrationConfig
 from .covariance import knn_covariances, regularize_covariances
 
@@ -145,12 +146,23 @@ def _make_correspondence_fn(cfg: RegistrationConfig):
     offsets = _neighbor_offsets(cfg.neighbor_offsets)
     gauss_d2 = _ndt_gauss_d2(cfg.resolution, cfg.ndt_outlier_ratio) if head == "ndt" else None
 
+    nn_offsets = _neighbor_offsets(cfg.nn_voxel_cells)
+
     def corr(T, src: SourceModel, tgt: TargetModel):
         R = T[:3, :3]
         p = jnp.matmul(src.points, R.T, precision=_HI) + T[:3, 3]
         if head in ("icp", "gicp"):
-            d2, j = nn_1(p, src.mask, tgt.points, tgt.mask, chunk=cfg.chunk)
-            valid = src.mask & jnp.isfinite(d2) & (d2 < max_d2)
+            if cfg.nn_method == "voxel":
+                # candidate-bounded NN over the target hash (tgt.points is
+                # the hash's sorted order; see build_target)
+                d2, j, ok = voxel_nn(
+                    tgt.vh, p, src.mask, nn_offsets,
+                    window=cfg.nn_voxel_window, max_d2=max_d2,
+                )
+                valid = ok & src.mask
+            else:
+                d2, j = nn_1(p, src.mask, tgt.points, tgt.mask, chunk=cfg.chunk)
+                valid = src.mask & jnp.isfinite(d2) & (d2 < max_d2)
             q = tgt.points[j]
             r = p - q
             if head == "icp":
@@ -193,7 +205,11 @@ def _make_align_fn(cfg: RegistrationConfig):
     def align(src: SourceModel, tgt: TargetModel, guess):
         T0 = jnp.asarray(guess, src.points.dtype)
 
-        def body(i, state):
+        def cond(state):
+            _, done, iters = state
+            return (~done) & (iters < cfg.maximum_iterations)
+
+        def body(state):
             T, done, iters = state
             p, r, M, valid = corr(T, src, tgt)
             H, b, _ = _normal_equations(p, r, M, valid)
@@ -201,16 +217,14 @@ def _make_align_fn(cfg: RegistrationConfig):
             delta = -jnp.linalg.solve(H, b)
             step_ok = jnp.all(jnp.isfinite(delta))
             delta = jnp.where(step_ok, delta, jnp.zeros_like(delta))
-            T_new = se3_exp(delta) @ T
-            small = jnp.sum(delta * delta) < eps2
-            T = jnp.where(done, T, T_new)
-            iters = iters + jnp.where(done, 0, 1)
-            done = done | small
-            return T, done, iters
+            T = se3_exp(delta) @ T
+            done = jnp.sum(delta * delta) < eps2
+            return T, done, iters + 1
 
-        T, done, iters = jax.lax.fori_loop(
-            0, cfg.maximum_iterations, body,
-            (T0, jnp.asarray(False), jnp.asarray(0, jnp.int32)),
+        # while_loop: converged scans exit early instead of burning the
+        # full iteration budget on redundant NN passes
+        T, done, iters = jax.lax.while_loop(
+            cond, body, (T0, jnp.asarray(False), jnp.asarray(0, jnp.int32)),
         )
         # final stats at the solution
         p, r, M, valid = corr(T, src, tgt)
@@ -243,11 +257,43 @@ class Registration:
         self.capacity_voxels = capacity_voxels
         self._align = jax.jit(_make_align_fn(cfg))
         self._target: Optional[TargetModel] = None
+        # jit the model builders: eagerly dispatched hash/covariance builds
+        # dominate per-scan latency on remote devices
+        self._build_target_jit = jax.jit(self._build_target_impl)
+        self._build_source_jit = jax.jit(self._build_source_impl)
+        # fused per-scan path: source model build + align in ONE dispatch
+        self._align_fn = _make_align_fn(cfg)
+        self._align_cloud_jit = jax.jit(
+            lambda cloud, tgt, guess: self._align_fn(
+                self._build_source_impl(cloud), tgt, guess
+            )
+        )
 
     def build_target(self, cloud: MaskedCloud) -> TargetModel:
+        return self._build_target_jit(cloud)
+
+    def build_source(self, cloud: MaskedCloud) -> SourceModel:
+        return self._build_source_jit(cloud)
+
+    def _build_target_impl(self, cloud: MaskedCloud) -> TargetModel:
         cfg = self.cfg
         head = cfg.head
         covs = vh = voxel_covs = voxel_inv = None
+        if head in ("icp", "gicp") and cfg.nn_method == "voxel":
+            # NN hash; points/covs live in the hash's cell-sorted order
+            vh = build_voxel_hash(
+                cloud, cfg.nn_voxel_resolution, self.capacity_voxels,
+                dense_index=True, with_stats=False,
+            )
+            if head == "gicp":
+                covs, _ = voxel_knn_covariances(
+                    vh, k=cfg.correspondence_randomness,
+                    offsets=_neighbor_offsets(cfg.cov_voxel_cells),
+                    window=cfg.cov_voxel_window, mode="plane",
+                )
+            return TargetModel(
+                vh.sorted_points, vh.sorted_valid, covs, vh, None, None
+            )
         if head == "gicp":
             covs, _ = knn_covariances(
                 cloud.points, cloud.mask, k=cfg.correspondence_randomness,
@@ -255,7 +301,7 @@ class Registration:
             )
         if head in ("vgicp", "ndt"):
             vh = build_voxel_hash(
-                cloud, cfg.resolution, self.capacity_voxels
+                cloud, cfg.resolution, self.capacity_voxels, dense_index=True
             )
             mode = "plane" if head == "vgicp" else "floor"
             voxel_covs = regularize_covariances(vh.covs, mode=mode)
@@ -271,10 +317,23 @@ class Registration:
                 )
         return TargetModel(cloud.points, cloud.mask, covs, vh, voxel_covs, voxel_inv)
 
-    def build_source(self, cloud: MaskedCloud) -> SourceModel:
+    def _build_source_impl(self, cloud: MaskedCloud) -> SourceModel:
         cfg = self.cfg
         covs = None
         if cfg.head in ("gicp", "vgicp"):
+            if cfg.nn_method == "voxel":
+                # source order is irrelevant to the cost: adopt the hash's
+                # sorted order so covariances align with the points
+                vh = build_voxel_hash(
+                    cloud, cfg.nn_voxel_resolution, self.capacity_voxels,
+                    dense_index=True, with_stats=False,
+                )
+                covs, _ = voxel_knn_covariances(
+                    vh, k=cfg.correspondence_randomness,
+                    offsets=_neighbor_offsets(cfg.cov_voxel_cells),
+                    window=cfg.cov_voxel_window, mode="plane",
+                )
+                return SourceModel(vh.sorted_points, vh.sorted_valid, covs)
             covs, _ = knn_covariances(
                 cloud.points, cloud.mask, k=cfg.correspondence_randomness,
                 mode="plane", chunk=cfg.chunk,
@@ -292,6 +351,14 @@ class Registration:
         if guess is None:
             guess = jnp.eye(4, dtype=source.points.dtype)
         return self._align(source, self._target, guess)
+
+    def align_cloud(self, cloud: MaskedCloud, guess=None) -> RegistrationResult:
+        """One-dispatch scan registration against the prepared target."""
+        if self._target is None:
+            raise RuntimeError("set_target() before align_cloud()")
+        if guess is None:
+            guess = jnp.eye(4, dtype=cloud.points.dtype)
+        return self._align_cloud_jit(cloud, self._target, guess)
 
     def align_pair(self, source, target, guess=None) -> RegistrationResult:
         if isinstance(target, MaskedCloud):

@@ -97,6 +97,7 @@ class TestAlign:
         c = ops.make_cloud(pts.astype(np.float32), capacity=640)
         res = reg.align_pair(c, c)
         T = np.asarray(res.transformation)
-        tol = 0.02 if method in ("ICP", "FAST_GICP") else 0.12
+        # voxel-distribution heads: quantization bias ~ resolution/15
+        tol = 0.02 if method in ("ICP", "FAST_GICP") else 0.15
         assert np.linalg.norm(T[:3, 3]) < tol
         assert np.linalg.norm(T[:3, :3] - np.eye(3)) < 0.03
