@@ -1,0 +1,18 @@
+#!/usr/bin/env bash
+# CI entry (the reference's GitHub Actions matrix builds docker images and
+# runs catkin_make, .github/workflows/build.yml; here CI = native build +
+# the full test pyramid + a smoke replay).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== native build =="
+make -C delta_graph_slam_tpu/native
+
+echo "== unit + integration tests =="
+python -m pytest tests/ -q
+
+echo "== smoke replay (CPU) =="
+JAX_PLATFORM_NAME=cpu python -m delta_graph_slam_tpu.cli run \
+    --preset delta --synthetic 8 --eval
+
+echo "CI OK"

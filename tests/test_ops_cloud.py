@@ -270,3 +270,29 @@ class TestRansac:
         lens = np.sort(np.asarray(lines.lengths())[np.asarray(lines.mask)])[::-1]
         assert abs(lens[0] - 8.0) < 0.5
         assert abs(lens[1] - 6.0) < 0.5
+
+
+class TestPallasNN:
+    def test_interpret_matches_brute(self):
+        """Pallas kernel (interpret mode) vs the XLA scan NN."""
+        import jax
+        import jax.numpy as jnp
+        from delta_graph_slam_tpu.ops.pallas_nn import nn_1_pallas
+        from delta_graph_slam_tpu.ops.knn import nn_1
+
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.uniform(-5, 5, (512, 3)).astype(np.float32))
+        t = jnp.asarray(rng.uniform(-5, 5, (1024, 3)).astype(np.float32))
+        qm = jnp.ones(512, bool).at[500:].set(False)
+        tm = jnp.ones(1024, bool).at[1000:].set(False)
+        d2p, idxp = nn_1_pallas(q, qm, t, tm, tile_q=128, tile_t=256,
+                                interpret=True)
+        d2b, idxb = nn_1(q, qm, t, tm, chunk=256)
+        valid = np.asarray(qm)
+        np.testing.assert_allclose(
+            np.asarray(d2p)[valid], np.asarray(d2b)[valid], atol=1e-3
+        )
+        assert not np.isfinite(np.asarray(d2p)[~valid]).any()
+        # indices agree where the distances are unambiguous
+        same = np.asarray(idxp)[valid] == np.asarray(idxb)[valid]
+        assert same.mean() > 0.99
