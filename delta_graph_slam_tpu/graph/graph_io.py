@@ -134,6 +134,55 @@ def load_g2o(path) -> SE2GraphBuilder:
     return b
 
 
+def save_g2o_se3(builder, path):
+    """SE3 graph as standard g2o text (VERTEX_SE3:QUAT / EDGE_SE3:QUAT,
+    plus VERTEX_PLANE and the custom tags for the rest; kernels sidecar)."""
+    lines = []
+    for vid, (pose, fixed) in enumerate(zip(builder.poses, builder.fixed)):
+        t = pose[:3]
+        q = pose[3:7]  # wxyz -> g2o writes x y z w
+        lines.append(
+            f"VERTEX_SE3:QUAT {vid} "
+            f"{t[0]:.12g} {t[1]:.12g} {t[2]:.12g} "
+            f"{q[1]:.12g} {q[2]:.12g} {q[3]:.12g} {q[0]:.12g}"
+        )
+        if fixed:
+            lines.append(f"FIX {vid}")
+    nv = len(builder.poses)
+    for pid, coeffs in enumerate(builder.planes):
+        lines.append(
+            "VERTEX_PLANE "
+            + f"{nv + pid} "
+            + " ".join(f"{c:.12g}" for c in coeffs)
+        )
+    kernel_lines = []
+    for e in builder.edges:
+        if e["type"] == "se3":
+            m = e["meas"]  # [t, q wxyz]
+            lines.append(
+                f"EDGE_SE3:QUAT {e['i']} {e['j']} "
+                f"{m[0]:.12g} {m[1]:.12g} {m[2]:.12g} "
+                f"{m[4]:.12g} {m[5]:.12g} {m[6]:.12g} {m[3]:.12g} "
+                + _info_upper(e["info"])
+            )
+            sig = f"2 {e['i']} {e['j']}"
+            kname = ROBUST_KERNELS[e["kernel"]]
+            if kname != "NONE":
+                kernel_lines.append(f"{sig} {kname} {e['delta']:.12g}")
+        elif e["type"] == "se3plane":
+            m = e["meas"]
+            lines.append(
+                f"EDGE_SE3_PLANE {e['i']} {nv + e['p']} "
+                + " ".join(f"{x:.12g}" for x in m)
+                + " " + _info_upper(e["info"])
+            )
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    with open(str(path) + ".kernels", "w") as f:
+        f.write(f"{len(kernel_lines)}\n")
+        f.write("\n".join(kernel_lines) + ("\n" if kernel_lines else ""))
+
+
 def save_npz(builder: SE2GraphBuilder, path):
     """Array-native checkpoint (the fast path; poses + full edge tables)."""
     g = builder.to_arrays()

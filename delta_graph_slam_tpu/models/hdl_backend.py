@@ -363,6 +363,16 @@ class HdlBackend:
         ]
         return stats
 
+    def dump_graph(self, destination) -> bool:
+        """DumpGraph service equivalent: g2o text SE3 graph + kernels."""
+        import os
+
+        os.makedirs(destination, exist_ok=True)
+        from ..graph.graph_io import save_g2o_se3
+
+        save_g2o_se3(self.graph, os.path.join(destination, "graph.g2o"))
+        return True
+
     def save_map(self, destination, resolution=0.05) -> bool:
         import os
 

@@ -39,6 +39,11 @@ class Pipeline:
         self.timer = StageTimer()
         self._last_opt_stamp = None
         self.frames_processed = 0
+        # read_until flow control (scan_matching_odometry:133-139,
+        # delta:220-230): consumers advertise how far they have processed
+        from .flow import Watermark
+
+        self.watermark = Watermark()
 
     # ---- message entry points -----------------------------------------
     def on_gps(self, stamp, lat, lon, alt=0.0):
@@ -82,6 +87,13 @@ class Pipeline:
                     stamp, frame.pose, out.filtered3d, gt_pose=gt_pose
                 )
         self.frames_processed += 1
+        # odometry advertises +1 s past the processed stamp (reference
+        # scan_matching_odometry:133-139); the backend its own horizon
+        self.watermark.advertise("odometry", stamp + 1.0)
+        self.watermark.advertise(
+            "backend",
+            max(getattr(self.backend, "read_until_stamp", 0.0), stamp + 3.0),
+        )
 
         # optimization timer on simulated time
         if self._last_opt_stamp is None:
