@@ -7,8 +7,9 @@ from .sharding import (
     optimize_se2_sharded,
     shard_graph_edges,
 )
+from .multibag import MultiBagOdometry
 
 __all__ = [
     "make_mesh", "batched_align", "batched_align_sharded",
-    "optimize_se2_sharded", "shard_graph_edges",
+    "optimize_se2_sharded", "shard_graph_edges", "MultiBagOdometry",
 ]

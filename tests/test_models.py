@@ -157,3 +157,33 @@ class TestParallelSharding:
         T = np.asarray(res.transformation)
         assert T.shape == (4, 4)
         assert np.isfinite(T).all()
+
+
+class TestMultiBag:
+    def test_lockstep_odometry(self):
+        from delta_graph_slam_tpu.ops import make_cloud
+        from delta_graph_slam_tpu.parallel import MultiBagOdometry
+        from delta_graph_slam_tpu.register import RegistrationConfig
+
+        cfg = RegistrationConfig(
+            method="FAST_GICP", maximum_iterations=20, chunk=512,
+            correspondence_randomness=10, transformation_epsilon=1e-4,
+        )
+        B = 3
+        mb = MultiBagOdometry(cfg, B, keyframe_delta_trans=5.0,
+                              keyframe_delta_angle=5.0)
+        bases = [city_scan(n=1200, seed=s) for s in range(B)]
+        speeds = [0.3, 0.5, 0.7]
+        odom = None
+        for k in range(4):
+            clouds = [
+                make_cloud(bases[b] - np.float32([speeds[b] * k, 0, 0]),
+                           capacity=1280)
+                for b in range(B)
+            ]
+            odom = mb.process(clouds)
+        for b in range(B):
+            np.testing.assert_allclose(
+                odom[b][0, 3], speeds[b] * 3, atol=0.1,
+                err_msg=f"bag {b}",
+            )
