@@ -114,7 +114,7 @@ def bench_registration(n_frames=40, n_points=16384):
     return scans_per_sec, latency_ms, n_ok / n_frames, err_t
 
 
-def bench_pose_graph(n_nodes=4096):
+def bench_pose_graph(n_nodes=4096, cg_max_iters=50, cg_rtol=1e-5):
     from delta_graph_slam_tpu.graph import SE2GraphBuilder, SolverConfig, optimize_se2
 
     rng = np.random.default_rng(7)
@@ -144,8 +144,8 @@ def bench_pose_graph(n_nodes=4096):
                        kernel="Huber", delta=1.0)
     g = b.to_arrays()
 
-    cfg = SolverConfig(backend="cg", max_iterations=30, cg_max_iters=150,
-                       cg_rtol=1e-6)
+    cfg = SolverConfig(backend="cg", max_iterations=30,
+                       cg_max_iters=cg_max_iters, cg_rtol=cg_rtol)
     poses, stats = optimize_se2(g, level=0, config=cfg)  # warmup/compile
     jax.block_until_ready(poses)
 
@@ -162,6 +162,7 @@ def main():
     platform = jax.devices()[0].platform
     scans_per_sec, latency_ms, conv_rate, err_t = bench_registration()
     lm_ms, lm_iters, chi2_ratio = bench_pose_graph()
+    lm_ms_16k, _, chi2_16k = bench_pose_graph(n_nodes=16384)
 
     # reference baseline: ~1 scan/sec effective (0.1x replay of 10 Hz KITTI)
     result = {
@@ -177,6 +178,8 @@ def main():
         "pose_graph_nodes": 4096,
         "pose_graph_lm_iters": lm_iters,
         "pose_graph_chi2_reduction": round(chi2_ratio, 6),
+        "pose_graph_16k_lm_ms_per_iter": round(lm_ms_16k, 3),
+        "pose_graph_16k_chi2_reduction": round(chi2_16k, 6),
     }
     print(json.dumps(result))
 

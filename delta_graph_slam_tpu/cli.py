@@ -104,6 +104,48 @@ def _cmd_convert_kitti(args):
     return 0
 
 
+def _cmd_convert_ford(args):
+    """Ford IJRR dataset -> Bag npz (the reference's ford2bag.py role:
+    SCANS/Scan*.mat velodyne clouds + binary GPS.log fixes)."""
+    import glob
+    import os
+    import re
+    import struct
+
+    import scipy.io
+
+    from .io.bag import Bag, Message
+
+    msgs = []
+    scans = sorted(
+        f for f in glob.glob(os.path.join(args.src_dir, "SCANS", "Scan*.mat"))
+        if re.match(r"Scan[0-9]*\.mat$", os.path.basename(f))
+    )
+    for path in scans:
+        m = scipy.io.loadmat(path)
+        xyz = np.transpose(m["SCAN"]["XYZ"][0][0]).astype(np.float32)
+        stamp = float(m["SCAN"]["timestamp_laser"][0][0][0][0]) * 1e-6
+        msgs.append(Message(stamp, "points", xyz))
+    gps_log = os.path.join(args.src_dir, "GPS.log")
+    if os.path.exists(gps_log):
+        with open(gps_log, "rb") as f:
+            while True:
+                head = f.read(8 * 4)
+                if len(head) < 32:
+                    break
+                t_us = struct.unpack("qddd", head)[0]
+                lat, lon, el, _theta = struct.unpack("dddd", f.read(8 * 4))
+                f.read(8 * 16)  # covariance
+                if abs(lat) < 1e-1:
+                    continue
+                msgs.append(
+                    Message(t_us * 1e-6, "gps", np.array([lat, lon, el]))
+                )
+    Bag(msgs).save_npz(args.out)
+    print(f"wrote {len(msgs)} messages -> {args.out}")
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="delta_graph_slam_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -125,6 +167,12 @@ def main(argv=None):
     c.add_argument("--timestamps")
     c.add_argument("--out", required=True)
     c.set_defaults(fn=_cmd_convert_kitti)
+
+    fd = sub.add_parser("convert-ford", help="Ford IJRR dataset -> bag npz")
+    fd.add_argument("--src-dir", required=True,
+                    help="directory containing SCANS/ and GPS.log")
+    fd.add_argument("--out", required=True)
+    fd.set_defaults(fn=_cmd_convert_ford)
 
     args = p.parse_args(argv)
     try:

@@ -607,6 +607,148 @@ class DeltaBackend:
         save_npz(self.graph, os.path.join(destination, "graph.npz"))
         return True
 
+    # ------------------------------------------------------- checkpointing
+    def save_state(self, path):
+        """Full-session checkpoint: graph + keyframes + buildings + frames
+        of reference. Array-native (npz); resume with load_state. (The
+        reference only persists the g2o graph, graph_slam.cpp:354-361 —
+        our checkpoint restores the whole backend.)"""
+        kfs = self.keyframes
+        data = dict(
+            trans_odom2map=self.trans_odom2map,
+            origin=self.origin if self.origin is not None else np.zeros(0),
+            scale=np.float64(self.scale or 0.0),
+            accum_distance=np.float64(self.keyframe_updater.accum_distance),
+            prev_keypose=self.keyframe_updater.prev_keypose,
+            kf_is_first=np.bool_(self.keyframe_updater.is_first),
+            last_edge_accum=np.float64(
+                self.loop_detector.last_edge_accum_distance
+            ),
+            adjust_initial=np.bool_(self.adjust_initial_orientation),
+            anchor_node=np.int64(
+                -1 if self.anchor_node is None else self.anchor_node
+            ),
+            kf_stamps=np.asarray([k.stamp for k in kfs]),
+            kf_odom=np.asarray([k.odom for k in kfs]).reshape(-1, 4, 4),
+            kf_odom2d=np.asarray([k.odom2d for k in kfs]).reshape(-1, 3),
+            kf_accum=np.asarray([k.accum_distance for k in kfs]),
+            kf_node=np.asarray(
+                [-1 if k.node_id is None else k.node_id for k in kfs],
+                np.int64,
+            ),
+            kf_est_odom=np.asarray(
+                [k.estimated_odom if k.estimated_odom is not None
+                 else np.full(3, np.nan) for k in kfs]
+            ).reshape(-1, 3),
+            kf_gps=np.asarray(
+                [k.gps_coord if k.gps_coord is not None
+                 else np.full(2, np.nan) for k in kfs]
+            ).reshape(-1, 2),
+            kf_gt=np.asarray(
+                [k.gt_pose if k.gt_pose is not None
+                 else np.full(3, np.nan) for k in kfs]
+            ).reshape(-1, 3),
+            kf_clouds=np.asarray(
+                [np.asarray(k.cloud.points)[np.asarray(k.cloud.mask)]
+                 for k in kfs], object,
+            ),
+            kf_flat=np.asarray(
+                [np.asarray(k.flat_cloud.points)[np.asarray(k.flat_cloud.mask)]
+                 if k.flat_cloud is not None else np.zeros((0, 3))
+                 for k in kfs], object,
+            ),
+        )
+        if self.buildings_manager is not None:
+            bs = self.buildings_manager.buildings
+            data["b_ids"] = np.asarray([b.id for b in bs], object)
+            data["b_poses"] = np.asarray([b.pose for b in bs]).reshape(-1, 3)
+            data["b_corners"] = np.asarray([b.corners for b in bs], object)
+            data["b_nodes"] = np.asarray(
+                [-1 if b.node_id is None else b.node_id for b in bs], np.int64
+            )
+        np.savez_compressed(path, **data)
+        from ..graph.graph_io import save_npz as save_graph_npz
+
+        save_graph_npz(self.graph, str(path) + ".graph.npz")
+
+    def load_state(self, path, cloud_capacity=32768, flat_capacity=8192):
+        """Restore a save_state checkpoint (graph, keyframes, buildings)."""
+        from ..graph.graph_io import load_npz as load_graph_npz
+        from ..ops import make_cloud
+        from ..lines import make_lines
+        from ..buildings import Building, StaticProvider, BuildingManager
+        from ..geom.interpolate import interpolate_segment
+        from ..ops.cloud import MaskedCloud as MC
+
+        z = np.load(path, allow_pickle=True)
+        self.graph = load_graph_npz(str(path) + ".graph.npz")
+        self.trans_odom2map = z["trans_odom2map"]
+        self.origin = z["origin"] if z["origin"].size else None
+        self.scale = float(z["scale"]) or None
+        self.keyframe_updater.accum_distance = float(z["accum_distance"])
+        self.keyframe_updater.prev_keypose = z["prev_keypose"]
+        self.keyframe_updater.is_first = bool(z["kf_is_first"])
+        self.loop_detector.last_edge_accum_distance = float(
+            z["last_edge_accum"]
+        )
+        self.adjust_initial_orientation = bool(z["adjust_initial"])
+        a = int(z["anchor_node"])
+        self.anchor_node = None if a < 0 else a
+
+        self.keyframes = []
+        for i in range(len(z["kf_stamps"])):
+            est = z["kf_est_odom"][i]
+            gps = z["kf_gps"][i]
+            gt = z["kf_gt"][i]
+            kf = KeyFrame(
+                stamp=float(z["kf_stamps"][i]),
+                odom=z["kf_odom"][i],
+                odom2d=z["kf_odom2d"][i],
+                accum_distance=float(z["kf_accum"][i]),
+                cloud=make_cloud(z["kf_clouds"][i], capacity=cloud_capacity),
+                flat_cloud=make_cloud(z["kf_flat"][i],
+                                      capacity=flat_capacity),
+                node_id=None if z["kf_node"][i] < 0 else int(z["kf_node"][i]),
+                estimated_odom=None if np.isnan(est).any() else est,
+                gps_coord=None if np.isnan(gps).any() else gps,
+                gt_pose=None if np.isnan(gt).any() else gt,
+            )
+            self.keyframes.append(kf)
+        self.new_keyframes = []
+        self.keyframe_queue = []
+
+        if "b_ids" in z.files and self.scale:
+            if self.buildings_manager is None:
+                self.buildings_manager = BuildingManager(
+                    StaticProvider("<osm></osm>"), self.origin, self.scale,
+                    radius=self.cfg.nearby_buildings_radius,
+                    buffer_radius=self.cfg.buffer_buildings_radius,
+                )
+            mgr = self.buildings_manager
+            mgr.buildings = []
+            mgr.buildings_map = {}
+            import jax.numpy as jnp
+
+            for i in range(len(z["b_ids"])):
+                corners = np.asarray(z["b_corners"][i], float)
+                a_pts, b_pts = corners[:-1], corners[1:]
+                lines = make_lines(a_pts, b_pts, capacity=mgr.line_capacity)
+                a3 = np.concatenate([a_pts, np.zeros((len(a_pts), 1))], 1)
+                b3 = np.concatenate([b_pts, np.zeros((len(b_pts), 1))], 1)
+                per = max(16, mgr.interpolation_capacity // max(len(a_pts), 1))
+                pts, msk = interpolate_segment(
+                    jnp.asarray(a3, jnp.float32), jnp.asarray(b3, jnp.float32),
+                    capacity=per,
+                )
+                b = Building(
+                    id=str(z["b_ids"][i]), pose=z["b_poses"][i],
+                    corners=corners, lines=lines,
+                    cloud=MC(pts.reshape(-1, 3), msk.reshape(-1)),
+                    node_id=None if z["b_nodes"][i] < 0 else int(z["b_nodes"][i]),
+                )
+                mgr.buildings.append(b)
+                mgr.buildings_map[b.id] = b
+
     def compute_ate_rpe(self):
         """ATE / t-RPE / r-RPE vs keyframe ground truth (:1204-1280)."""
         poses = self.poses

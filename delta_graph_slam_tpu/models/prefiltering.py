@@ -62,6 +62,17 @@ class PrefilterOutput(NamedTuple):
     filtered2d: MaskedCloud
 
 
+def colored_by_order(points: np.ndarray) -> np.ndarray:
+    """Debug colors encoding acquisition order (the reference's
+    /colored_points deskew aid, prefiltering_nodelet.cpp:300-318):
+    r = 255*t, g = 128, b = 255*(1-t). Returns (N,3) uint8."""
+    n = max(len(points), 1)
+    t = np.arange(len(points), dtype=np.float64) / n
+    return np.stack(
+        [255 * t, np.full(len(points), 128.0), 255 * (1 - t)], axis=1
+    ).astype(np.uint8)
+
+
 def _build_fn(cfg: PrefilteringConfig):
     def run(cloud: MaskedCloud, base_T, lidar_height, ang_vel, use_deskew):
         if cfg.deskewing:

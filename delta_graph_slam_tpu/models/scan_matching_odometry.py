@@ -57,6 +57,10 @@ class OdometryFrame(NamedTuple):
     relative_pose: np.ndarray  # (4,4) final registration transform
     keyframe_swapped: bool
     rejected: bool             # frame ignored (non-convergence / jump)
+    # ScanMatchingStatus prediction telemetry (:333-341): the error between
+    # the final transform and the externally predicted delta, when provided
+    prediction_label: str = ""
+    prediction_error: np.ndarray = None  # (4,4) T^-1 @ msf_delta
 
 
 @jax.jit
@@ -91,8 +95,36 @@ class ScanMatchingOdometry:
         self._keyframe_target = self.registration.build_target(cloud)
         self.keyframe_stamp = stamp
 
+    def save_state(self, path):
+        """Checkpoint the odometry stage (keyframe cloud + frame state)."""
+        kf_pts = (
+            np.asarray(self.keyframe.points)[np.asarray(self.keyframe.mask)]
+            if self.keyframe is not None else np.zeros((0, 3), np.float32)
+        )
+        np.savez_compressed(
+            path, keyframe_points=kf_pts,
+            keyframe_pose=self.keyframe_pose, prev_trans=self.prev_trans,
+            keyframe_stamp=np.float64(self.keyframe_stamp),
+            prev_time=np.float64(self.prev_time),
+        )
+
+    def load_state(self, path, capacity=32768):
+        from ..ops import make_cloud
+
+        z = np.load(path)
+        self.keyframe_pose = z["keyframe_pose"]
+        self.prev_trans = z["prev_trans"]
+        self.keyframe_stamp = float(z["keyframe_stamp"])
+        self.prev_time = float(z["prev_time"])
+        pts = z["keyframe_points"]
+        if len(pts):
+            cloud = make_cloud(pts, capacity=capacity)
+            self.keyframe = cloud
+            self._keyframe_target = self.registration.build_target(cloud)
+
     def matching(self, stamp: float, cloud: MaskedCloud,
-                 msf_delta: Optional[np.ndarray] = None) -> OdometryFrame:
+                 msf_delta: Optional[np.ndarray] = None,
+                 msf_source: str = "") -> OdometryFrame:
         if self.keyframe is None:
             self.prev_trans = np.eye(4)
             self.keyframe_pose = np.eye(4)
@@ -131,6 +163,10 @@ class ScanMatchingOdometry:
             )
 
         odom = self.keyframe_pose @ T
+        pred_err = (
+            np.linalg.inv(T) @ np.asarray(msf_delta)
+            if msf_delta is not None else None
+        )
 
         if self.cfg.transform_thresholding:
             delta = np.linalg.inv(self.prev_trans) @ T
@@ -146,6 +182,7 @@ class ScanMatchingOdometry:
                     converged=True, matching_error=float(res.fitness),
                     inlier_fraction=frac, relative_pose=T,
                     keyframe_swapped=False, rejected=True,
+                    prediction_label=msf_source, prediction_error=pred_err,
                 )
 
         self.prev_time = stamp
@@ -172,4 +209,5 @@ class ScanMatchingOdometry:
             converged=True, matching_error=float(res.fitness),
             inlier_fraction=frac, relative_pose=T,
             keyframe_swapped=swapped, rejected=False,
+            prediction_label=msf_source, prediction_error=pred_err,
         )

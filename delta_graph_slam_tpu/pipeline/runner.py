@@ -122,6 +122,21 @@ class Pipeline:
     def save_map(self, destination, resolution=0.05):
         return self.backend.save_map(destination, resolution)
 
+    def save_state(self, path):
+        """Checkpoint the whole pipeline (backend + odometry stage)."""
+        self.backend.save_state(path)
+        self.odometry.save_state(str(path) + ".odom.npz")
+
+    def load_state(self, path, **kw):
+        self.backend.load_state(path, **kw)
+        import os
+
+        odom_path = str(path) + ".odom.npz"
+        if os.path.exists(odom_path):
+            self.odometry.load_state(
+                odom_path, capacity=self.cfg.prefiltering.out_capacity
+            )
+
     def evaluate(self):
         if hasattr(self.backend, "compute_ate_rpe"):
             return self.backend.compute_ate_rpe()

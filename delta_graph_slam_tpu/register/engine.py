@@ -5,8 +5,11 @@ Replaces the C++ registration libraries wholesale
 per-method kd-tree + OpenMP inner loops, every head reduces each iteration
 to (correspondence gather) -> (per-residual 3x6 Jacobian with 3x3
 information) -> (segment-summed 6x6 normal equations) -> (closed SE3
-update). The loop is a fixed-length ``lax.fori_loop`` with a convergence
-mask, so a whole batch of scan pairs vmaps onto one device program.
+update). The loop is an early-exit ``lax.while_loop``; a whole batch of
+scan pairs vmaps onto one device program (batched elements run until all
+converge). Correspondence search is voxel-hash by default (dense
+direct-address grid, one gather per candidate cell) with the exact tiled
+path (XLA scan or the Pallas kernel in ops/pallas_nn.py) as 'brute' mode.
 
 Heads:
 - icp   : point-to-point, nearest neighbor, M = I

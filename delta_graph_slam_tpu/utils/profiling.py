@@ -7,7 +7,25 @@ observable feeding the scans/sec and LM ms/iter benchmark metrics.
 
 import collections
 import contextlib
+import os
 import time
+
+
+@contextlib.contextmanager
+def device_trace(label="dgs"):
+    """jax.profiler trace scope, enabled by DGS_TRACE=<output dir>.
+
+    Produces TensorBoard-loadable device traces for kernel-level analysis
+    (the deep-profiling layer above the wall-clock StageTimer).
+    """
+    out = os.environ.get("DGS_TRACE")
+    if not out:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(os.path.join(out, label)):
+        yield
 
 
 class StageTimer:

@@ -155,3 +155,42 @@ class TestHdlPipelineE2E:
         assert etypes.get("se3", 0) >= 3
         assert etypes.get("se3plane", 0) >= 1
         assert backend.floor_plane_node is not None
+
+
+class TestCheckpointResume:
+    def test_save_load_state(self, city, tmp_path_factory):
+        world, frames = city
+        cfg = small_delta_cfg()
+        from delta_graph_slam_tpu.buildings import StaticProvider
+
+        pipe = Pipeline(cfg, building_provider=StaticProvider(world.osm_xml()))
+        gts = rel_gt(frames)
+        half = len(frames) // 2
+        for fr, gt in zip(frames[:half], gts[:half]):
+            pipe.on_gps(fr.stamp, *fr.gps)
+            pipe.on_points(fr.stamp, fr.points, gt_pose=gt)
+        pipe.finish()
+        b1 = pipe.backend
+        out = tmp_path_factory.mktemp("ckpt")
+        path = str(out / "state.npz")
+        pipe.save_state(path)
+
+        # fresh pipeline resumes (backend + odometry stage) and continues
+        pipe2 = Pipeline(cfg, building_provider=StaticProvider(world.osm_xml()))
+        pipe2.load_state(path, cloud_capacity=16384, flat_capacity=4096)
+        b2 = pipe2.backend
+        assert len(b2.keyframes) == len(b1.keyframes)
+        np.testing.assert_allclose(b2.poses[: len(b1.poses)], b1.poses,
+                                   atol=1e-6)
+        assert len(b2.buildings_manager.buildings) == len(
+            b1.buildings_manager.buildings
+        )
+        # continue processing on the restored backend
+        b2.scale = b1.scale
+        b2.origin = b1.origin
+        for fr, gt in zip(frames[half:], gts[half:]):
+            pipe2.on_points(fr.stamp, fr.points, gt_pose=gt)
+        pipe2.finish()
+        assert len(pipe2.backend.keyframes) > len(b1.keyframes)
+        m = pipe2.evaluate()
+        assert m is not None and m["ATE_mean"] < 2.0, m
