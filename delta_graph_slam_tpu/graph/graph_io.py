@@ -14,7 +14,7 @@ g2o-based tooling.
 
 import numpy as np
 
-from .robust import ROBUST_KERNELS, kernel_id
+from .robust import ROBUST_KERNELS
 from .se2_graph import SE2GraphBuilder
 
 

@@ -17,7 +17,6 @@ Edge types used by the delta backend
 from typing import NamedTuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..geom.se2 import normalize_angle

@@ -9,7 +9,6 @@ edge_extraction/get_edges/align_edges/align_lines
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -20,7 +20,7 @@ from typing import List, Optional
 import numpy as np
 import jax.numpy as jnp
 
-from ..geom.se2 import se2_compose, se2_inverse, se2_matrix
+from ..geom.se2 import se2_compose, se2_inverse
 from ..geom.se3 import transform_2d_to_3d, transform_3d_to_2d, yaw_from_rot
 from ..geom.projection import mercator_from_gps, gps_from_mercator, mercator_scale
 from ..graph import SE2GraphBuilder, SolverConfig, optimize_se2

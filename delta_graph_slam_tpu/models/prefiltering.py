@@ -12,7 +12,6 @@ fixed-capacity masked clouds; both outputs come back compacted.
 """
 
 import dataclasses
-import functools
 from typing import NamedTuple, Optional
 
 import jax

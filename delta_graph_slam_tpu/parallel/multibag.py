@@ -10,7 +10,7 @@ This is the TPU-native replacement for "run the reference N times": the
 same registration program, batched to fill the chip (or the pod slice).
 """
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import jax

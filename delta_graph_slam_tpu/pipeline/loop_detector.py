@@ -14,7 +14,7 @@ fitness_score_thresh.
 """
 
 import dataclasses
-from typing import Any, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

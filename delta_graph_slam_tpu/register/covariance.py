@@ -6,7 +6,6 @@ floors small voxel-covariance eigenvalues relative to the largest. Both are
 closed-form here (no LAPACK) so they vectorize across every point/voxel.
 """
 
-import jax
 import jax.numpy as jnp
 
 from ..ops.knn import knn
