@@ -54,6 +54,9 @@ class PrefilteringConfig:
     raw_capacity: int = 131072
     out_capacity: int = 32768
     chunk: int = 2048
+    # neighbor search backend for the radius filter and kNN normals:
+    # 'voxel' (hash-bounded candidates, fast on TPU) or 'brute' (exact)
+    neighbor_method: str = "voxel"
 
 
 class PrefilterOutput(NamedTuple):
@@ -103,7 +106,7 @@ def _build_fn(cfg: PrefilteringConfig):
         elif cfg.outlier_removal_method == "RADIUS":
             c3 = radius_outlier_removal(
                 c3, cfg.radius_radius, cfg.radius_min_neighbors,
-                chunk=cfg.chunk,
+                chunk=cfg.chunk, method=cfg.neighbor_method,
             )
         c3 = compact(c3)
 
@@ -111,7 +114,7 @@ def _build_fn(cfg: PrefilteringConfig):
         c2 = normal_filter(
             c2, cfg.normal_filter_thresh, cfg.normal_k,
             viewpoint=(0.0, 0.0, 0.0), keep_vertical_surfaces=True,
-            chunk=cfg.chunk,
+            chunk=cfg.chunk, method=cfg.neighbor_method,
         )
         c2 = compact(flatten_z(c2))
         return PrefilterOutput(c3, c2)

@@ -72,6 +72,26 @@ def _inlier_fraction(points, mask, tgt_points, tgt_mask, T, max_dist):
     return jnp.sum(mask & (d2 < max_dist * max_dist)) / n
 
 
+@jax.jit
+def _inlier_fraction_voxel(points, mask, tgt, T, max_dist):
+    """Status inliers via the keyframe target's voxel hash (0.5 m << cell
+    size, so the 27-neighborhood covers the gate exactly)."""
+    import numpy as _np
+
+    from ..ops.voxel_knn import voxel_nn
+
+    offs = _np.asarray(
+        [[i, j, l] for i in (-1, 0, 1) for j in (-1, 0, 1)
+         for l in (-1, 0, 1)], _np.int32,
+    )
+    T = jnp.asarray(T, points.dtype)
+    moved = points @ T[:3, :3].T + T[:3, 3]
+    d2, _, ok = voxel_nn(tgt.vh, moved, mask, offs, window=8,
+                         max_d2=max_dist * max_dist)
+    n = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(ok) / n
+
+
 class ScanMatchingOdometry:
     def __init__(self, cfg: OdometryConfig = OdometryConfig()):
         self.cfg = cfg
@@ -145,13 +165,21 @@ class ScanMatchingOdometry:
         )
         T = np.asarray(res.transformation, np.float64)
         converged = bool(res.converged)
-        frac = float(
-            _inlier_fraction(
-                cloud.points, cloud.mask,
-                self.keyframe.points, self.keyframe.mask,
-                T, self.cfg.status_max_correspondence_dist,
+        if getattr(self._keyframe_target, "vh", None) is not None:
+            frac = float(
+                _inlier_fraction_voxel(
+                    cloud.points, cloud.mask, self._keyframe_target,
+                    T, self.cfg.status_max_correspondence_dist,
+                )
             )
-        )
+        else:
+            frac = float(
+                _inlier_fraction(
+                    cloud.points, cloud.mask,
+                    self.keyframe.points, self.keyframe.mask,
+                    T, self.cfg.status_max_correspondence_dist,
+                )
+            )
 
         if not converged:
             pose = self.keyframe_pose @ self.prev_trans

@@ -46,13 +46,37 @@ def smallest_eigvec_3x3(A):
     return v
 
 
-def estimate_normals(cloud: MaskedCloud, k: int = 10, viewpoint=(0.0, 0.0, 0.0), *, chunk=1024):
+def estimate_normals(cloud: MaskedCloud, k: int = 10, viewpoint=(0.0, 0.0, 0.0),
+                     *, chunk=1024, method="brute", voxel_resolution=0.75,
+                     voxel_window=16):
     """Per-point unit normals from the k nearest neighbors (self included),
-    oriented toward the viewpoint. Returns (normals (N,3), valid (N,))."""
+    oriented toward the viewpoint. Returns (normals (N,3), valid (N,)).
+
+    method='voxel' bounds the kNN candidates to a spatial hash (27 cells x
+    window points) — the fast path for big clouds on TPU; 'brute' is the
+    exact tiled search.
+    """
     pts, mask = cloud.points, cloud.mask
-    d2, idx = knn(pts, mask, pts, mask, k=k, exclude_self=False, chunk=chunk)
-    nb_valid = jnp.isfinite(d2)  # (N,k)
-    nb = pts[idx]  # (N,k,3)
+    if method == "voxel":
+        import numpy as _np
+
+        from .voxel import build_voxel_hash
+        from .voxel_knn import voxel_knn
+
+        vh = build_voxel_hash(cloud, voxel_resolution, pts.shape[0],
+                              dense_index=True, with_stats=False)
+        offs = _np.asarray(
+            [[i, j, l] for i in (-1, 0, 1) for j in (-1, 0, 1)
+             for l in (-1, 0, 1)], _np.int32,
+        )
+        # query with the ORIGINAL point order so the mask lines up
+        d2, idx, ok = voxel_knn(vh, pts, mask, k, offs, window=voxel_window)
+        nb_valid = ok & jnp.isfinite(d2)
+        nb = vh.sorted_points[idx]
+    else:
+        d2, idx = knn(pts, mask, pts, mask, k=k, exclude_self=False, chunk=chunk)
+        nb_valid = jnp.isfinite(d2)  # (N,k)
+        nb = pts[idx]  # (N,k,3)
     w = nb_valid.astype(pts.dtype)
     cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
     mean = jnp.sum(nb * w[..., None], axis=1) / cnt[:, None]
@@ -74,13 +98,15 @@ def normal_filter(
     keep_vertical_surfaces: bool = True,
     *,
     chunk=1024,
+    method="brute",
 ) -> MaskedCloud:
     """Keep points by normal verticality.
 
     keep_vertical_surfaces=True : |n_z| <  thresh (walls; prefiltering:217-247)
     keep_vertical_surfaces=False: |n_z| >  thresh (floors; floor_detection:211-238)
     """
-    n, valid = estimate_normals(cloud, k=k, viewpoint=viewpoint, chunk=chunk)
+    n, valid = estimate_normals(cloud, k=k, viewpoint=viewpoint, chunk=chunk,
+                                method=method)
     nz = jnp.abs(n[:, 2])
     keep = (nz < thresh) if keep_vertical_surfaces else (nz > thresh)
     return MaskedCloud(cloud.points, cloud.mask & valid & keep)

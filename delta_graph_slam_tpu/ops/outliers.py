@@ -38,8 +38,28 @@ def statistical_outlier_removal(
 
 
 def radius_outlier_removal(
-    cloud: MaskedCloud, radius: float = 0.8, min_neighbors: int = 2, *, chunk=2048
+    cloud: MaskedCloud, radius: float = 0.8, min_neighbors: int = 2, *,
+    chunk=2048, method="brute", voxel_window=16,
 ) -> MaskedCloud:
-    cnt = radius_count(cloud.points, cloud.mask, radius, chunk=chunk)
+    """method='voxel' counts neighbors among windowed hash candidates
+    (cell size = radius, 27-neighborhood): exact unless a cell holds more
+    than ``voxel_window`` points, in which case it may undercount — for an
+    outlier filter (keep when count >= 2) that direction is harmless."""
+    if method == "voxel":
+        import numpy as _np
+
+        from .voxel import build_voxel_hash
+        from .voxel_knn import voxel_radius_count
+
+        vh = build_voxel_hash(cloud, radius, cloud.capacity,
+                              dense_index=True, with_stats=False)
+        offs = _np.asarray(
+            [[i, j, l] for i in (-1, 0, 1) for j in (-1, 0, 1)
+             for l in (-1, 0, 1)], _np.int32,
+        )
+        cnt = voxel_radius_count(vh, cloud.points, cloud.mask, radius, offs,
+                                 window=voxel_window)
+    else:
+        cnt = radius_count(cloud.points, cloud.mask, radius, chunk=chunk)
     keep = cloud.mask & (cnt >= min_neighbors)
     return MaskedCloud(cloud.points, keep)

@@ -57,6 +57,32 @@ def voxel_knn(vh: VoxelHash, query, qmask, k, offsets, window=8,
     return d2k, idx, jnp.isfinite(d2k) & qmask[:, None]
 
 
+def voxel_radius_count(vh: VoxelHash, query, qmask, radius, offsets,
+                       window=8, exclude_self=True):
+    """Count neighbors within ``radius`` among windowed voxel candidates.
+
+    Approximate when cells hold more than ``window`` points (undercounts);
+    exact otherwise with cell size >= radius and a 27-neighborhood.
+    Queries are assumed to BE hash points when exclude_self (one self-match
+    subtracted)."""
+    slots, hit = voxel_lookup(vh, query, qmask, offsets=offsets)
+    starts = vh.starts[slots]
+    counts = vh.counts[slots].astype(jnp.int32)
+    w = jnp.arange(window, dtype=jnp.int32)
+    cand = starts[:, :, None] + w[None, None, :]
+    cvalid = hit[:, :, None] & (w[None, None, :] < counts[:, :, None])
+    npts = vh.sorted_points.shape[0]
+    cand = jnp.clip(cand, 0, npts - 1)
+    cpts = vh.sorted_points[cand]
+    diff = cpts - query[:, None, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    inside = cvalid & (d2 <= radius * radius)
+    n = jnp.sum(inside, axis=(1, 2)).astype(jnp.int32)
+    if exclude_self:
+        n = n - 1
+    return jnp.where(qmask, jnp.maximum(n, 0), 0)
+
+
 def voxel_knn_covariances(vh: VoxelHash, k, offsets, window=8,
                           mode="plane"):
     """Per-point neighborhood covariances over the hash's own points.

@@ -296,3 +296,30 @@ class TestPallasNN:
         # indices agree where the distances are unambiguous
         same = np.asarray(idxp)[valid] == np.asarray(idxb)[valid]
         assert same.mean() > 0.99
+
+
+class TestVoxelNeighborPaths:
+    def test_voxel_normals_match_brute(self):
+        xy = RNG.uniform(-5, 5, (400, 2))
+        pts = np.concatenate([xy, np.zeros((400, 1))], axis=1)
+        cloud = ops.make_cloud(pts, capacity=512)
+        nb, vb = ops.estimate_normals(cloud, k=10, viewpoint=(0, 0, 10.0),
+                                      method="brute")
+        nv, vv = ops.estimate_normals(cloud, k=10, viewpoint=(0, 0, 10.0),
+                                      method="voxel")
+        nb, nv = np.asarray(nb)[:400], np.asarray(nv)[:400]
+        # plane normals: both near +-z; compare |dot|
+        dots = np.abs(np.sum(nb * nv, axis=1))
+        assert np.mean(dots > 0.99) > 0.95
+
+    def test_voxel_radius_removal_matches_brute(self):
+        base = RNG.uniform(-1, 1, (200, 3))
+        outliers = RNG.uniform(40, 50, (10, 3))
+        pts = np.concatenate([base, outliers])
+        cloud = ops.make_cloud(pts, capacity=256)
+        out_b = ops.radius_outlier_removal(cloud, 2.0, 2, method="brute")
+        out_v = ops.radius_outlier_removal(cloud, 2.0, 2, method="voxel",
+                                           voxel_window=32)
+        np.testing.assert_array_equal(
+            np.asarray(out_b.mask), np.asarray(out_v.mask)
+        )
