@@ -87,13 +87,14 @@ def _build_fn(cfg: PrefilteringConfig):
             cloud = distance_filter(
                 cloud, cfg.distance_near_thresh, cfg.distance_far_thresh
             )
-        cloud = compact(cloud)
         if cfg.downsample_method in ("VOXELGRID", "APPROX_VOXELGRID"):
+            # the downsample sorts by cell anyway: no pre-compaction needed
             c3 = voxel_downsample(
                 cloud, cfg.downsample_resolution, capacity_out=cfg.out_capacity
             )
         else:
-            # passthrough: truncate to out_capacity
+            # passthrough: compact then truncate to out_capacity
+            cloud = compact(cloud)
             c3 = MaskedCloud(
                 cloud.points[: cfg.out_capacity],
                 cloud.mask[: cfg.out_capacity],

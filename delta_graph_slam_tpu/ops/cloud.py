@@ -30,18 +30,35 @@ class MaskedCloud(NamedTuple):
 
 
 def make_cloud(points, mask=None, capacity=None, dtype=jnp.float32):
-    """Build a MaskedCloud from a (possibly ragged) numpy/jax array."""
-    points = jnp.asarray(points, dtype)
-    n = points.shape[0]
+    """Build a MaskedCloud from a (possibly ragged) numpy/jax array.
+
+    Padding happens on the HOST: device-side eager pads would trigger one
+    remote kernel compile per distinct scan length (every lidar frame has a
+    different point count), which dominated the per-frame cost on the
+    tunneled TPU. One fixed-shape upload instead.
+    """
+    import numpy as _np
+
+    if isinstance(points, jnp.ndarray) and not isinstance(points, _np.ndarray):
+        points = _np.asarray(points)
+    pts = _np.asarray(points)
+    n = pts.shape[0]
     if capacity is None:
         capacity = n
     if mask is None:
-        mask = jnp.ones((n,), bool)
+        mask_np = _np.ones((n,), bool)
+    else:
+        mask_np = _np.asarray(mask)
     if capacity != n:
+        assert capacity > n, (capacity, n)
         pad = capacity - n
-        points = jnp.pad(points, ((0, pad), (0, 0)))
-        mask = jnp.pad(mask, (0, pad))
-    return MaskedCloud(points, mask)
+        pts = _np.pad(pts, ((0, pad), (0, 0)))
+        mask_np = _np.pad(mask_np, (0, pad))
+    np_dtype = _np.float32 if dtype == jnp.float32 else None
+    return MaskedCloud(
+        jnp.asarray(pts.astype(np_dtype) if np_dtype else pts, dtype),
+        jnp.asarray(mask_np),
+    )
 
 
 def compact(cloud: MaskedCloud) -> MaskedCloud:
