@@ -64,14 +64,39 @@ class Pipeline:
                 else linear_acceleration,
             )
 
+    def on_msf_pose(self, stamp, pose_4x4, after_update=False):
+        """IMU-frontend (msf) pose input for the odometry initial guess
+        (scan_matching_odometry:142-149, :190-198): the delta between the
+        last after-update pose and the latest pose seeds align()."""
+        if after_update:
+            self._msf_pose_after_update = (stamp, np.asarray(pose_4x4))
+        else:
+            self._msf_pose = (stamp, np.asarray(pose_4x4))
+
+    def _msf_delta(self):
+        p0 = getattr(self, "_msf_pose_after_update", None)
+        p1 = getattr(self, "_msf_pose", None)
+        if p0 is None or p1 is None:
+            return None, ""
+        if (
+            p0[0] <= self.odometry.keyframe_stamp
+            or p1[0] <= self.odometry.keyframe_stamp
+        ):
+            return None, ""  # msf data is too old (:160-162)
+        return np.linalg.inv(p0[1]) @ p1[1], "imu"
+
     def on_points(self, stamp, points, gt_pose=None, angular_velocity=None):
         """Full per-scan path: prefilter -> odometry -> backend enqueue."""
         with self.timer.stage("prefiltering"):
             out = self.prefiltering.process(
                 points, base_T=self.base_T, angular_velocity=angular_velocity
             )
+        msf_delta, msf_source = self._msf_delta()
         with self.timer.stage("odometry"):
-            frame = self.odometry.matching(stamp, out.filtered3d)
+            frame = self.odometry.matching(
+                stamp, out.filtered3d, msf_delta=msf_delta,
+                msf_source=msf_source,
+            )
         if self.floor is not None and isinstance(self.backend, HdlBackend):
             with self.timer.stage("floor_detection"):
                 coeffs = self.floor.detect(out.filtered3d)
