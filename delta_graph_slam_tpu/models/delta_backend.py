@@ -20,8 +20,12 @@ from typing import List, Optional
 import numpy as np
 import jax.numpy as jnp
 
-from ..geom.se2 import se2_compose, se2_inverse
-from ..geom.se3 import transform_2d_to_3d, transform_3d_to_2d, yaw_from_rot
+from ..geom.host import (
+    se2_compose_np, se2_inverse_np, transform_2d_to_3d_np,
+    transform_3d_to_2d_np,
+)
+
+from ..geom.se3 import yaw_from_rot
 from ..geom.projection import mercator_from_gps, gps_from_mercator, mercator_scale
 from ..graph import SE2GraphBuilder, SolverConfig, optimize_se2
 from ..lines import LineBasedScanmatcher, LineScanmatcherConfig, transform_lines
@@ -110,7 +114,7 @@ class DeltaBackendConfig:
 
 
 def _se2_of(T4):
-    return np.asarray(transform_3d_to_2d(jnp.asarray(T4)))
+    return transform_3d_to_2d_np(T4)
 
 
 class DeltaBackend:
@@ -211,9 +215,7 @@ class DeltaBackend:
         self.initial_orientation_yaw = yaw
         if self.cfg.use_imu_for_initial_orientation:
             rot = np.array([0.0, 0.0, yaw])
-            self.trans_odom2map = np.asarray(
-                se2_compose(jnp.asarray(rot), jnp.asarray(self.trans_odom2map))
-            )
+            self.trans_odom2map = se2_compose_np(rot, self.trans_odom2map)
             self._update_anchor(rot)
 
     def _update_anchor(self, pose):
@@ -234,9 +236,7 @@ class DeltaBackend:
             return
 
         odom2map = self.trans_odom2map
-        map_pose = np.asarray(
-            se2_compose(jnp.asarray(odom2map), jnp.asarray(odom2d))
-        )
+        map_pose = se2_compose_np(odom2map, odom2d)
 
         # reverse-Mercator of the current estimated position (:243-251)
         xyz = np.array([map_pose[0], map_pose[1], 0.0]) + self.origin
@@ -252,24 +252,18 @@ class DeltaBackend:
                     [b.lines for b in buildings],
                     capacity=self.cfg.scanmatcher.max_target_lines,
                 )
-                inv3d = transform_2d_to_3d(
-                    se2_inverse(jnp.asarray(map_pose))
-                )
-                blines = transform_lines(blines, np.asarray(inv3d))
+                inv3d = transform_2d_to_3d_np(se2_inverse_np(map_pose))
+                blines = transform_lines(blines, inv3d)
                 result = self.scanmatcher.align_global(
                     flat_cloud, blines, constrain_angle=add_keyframe,
                     max_range=3.5,
                 )
             odom_trans2d = _se2_of(np.asarray(result.transformation))
-            estimated_odom = np.asarray(
-                se2_compose(jnp.asarray(map_pose), jnp.asarray(odom_trans2d))
-            )
+            estimated_odom = se2_compose_np(map_pose, odom_trans2d)
 
             # initial-yaw bootstrap between 1st and 2nd keyframe (:295-314)
             if self.adjust_initial_orientation and not add_keyframe:
-                trans = np.array(
-                    se2_compose(jnp.asarray(odom2map), jnp.asarray(odom_trans2d))
-                )
+                trans = se2_compose_np(odom2map, odom_trans2d)
                 trans[:2] = 0.0
                 self._update_anchor(trans)
                 self.trans_odom2map = trans
@@ -296,9 +290,7 @@ class DeltaBackend:
         for i in range(n):
             kf = self.keyframe_queue[i]
             self.new_keyframes.append(kf)
-            odom = np.asarray(
-                se2_compose(jnp.asarray(odom2map), jnp.asarray(kf.odom2d))
-            )
+            odom = se2_compose_np(odom2map, kf.odom2d)
             kf.node_id = self.graph.add_vertex(odom)
             if not self.keyframes and len(self.new_keyframes) == 1:
                 self.anchor_node = self.graph.add_vertex(
@@ -310,11 +302,7 @@ class DeltaBackend:
                 continue
             prev = self.keyframes[-1] if i == 0 else self.keyframe_queue[i - 1]
             # reversed measurement convention (:570-571)
-            rel2d = np.asarray(
-                se2_compose(
-                    se2_inverse(jnp.asarray(kf.odom2d)), jnp.asarray(prev.odom2d)
-                )
-            )
+            rel2d = se2_compose_np(se2_inverse_np(kf.odom2d), prev.odom2d)
             rel3d = np.linalg.inv(kf.odom) @ prev.odom
             with self.timer.stage("information_matrix"):
                 info = self.inf_calculator.calc_information_matrix(
@@ -375,14 +363,10 @@ class DeltaBackend:
                 break
             if kf.global_alignment is None or not kf.near_buildings:
                 continue
-            odom = np.asarray(
-                se2_compose(jnp.asarray(odom2map), jnp.asarray(kf.odom2d))
-            )
-            odom3d = np.asarray(transform_2d_to_3d(jnp.asarray(odom)))
+            odom = se2_compose_np(odom2map, kf.odom2d)
+            odom3d = transform_2d_to_3d_np(odom)
             for b in kf.near_buildings:
-                bpose3d = np.asarray(
-                    transform_2d_to_3d(jnp.asarray(b.pose))
-                )
+                bpose3d = transform_2d_to_3d_np(b.pose)
                 bpose_inv = np.linalg.inv(bpose3d)
                 blines = transform_lines(b.lines, bpose_inv)
                 klines = transform_lines(
@@ -401,12 +385,8 @@ class DeltaBackend:
                 )
                 trans2d = _se2_of(T)
                 # relpose keyframe -> (building.pose * trans) (:700-703)
-                bt = np.asarray(
-                    se2_compose(jnp.asarray(b.pose), jnp.asarray(trans2d))
-                )
-                relpose = np.asarray(
-                    se2_compose(se2_inverse(jnp.asarray(odom)), jnp.asarray(bt))
-                )
+                bt = se2_compose_np(b.pose, trans2d)
+                relpose = se2_compose_np(se2_inverse_np(odom), bt)
                 self.graph.add_se2_edge(
                     kf.node_id, b.node_id, relpose, info, level=1,
                     kernel=self.cfg.building_edge_robust_kernel,
@@ -531,13 +511,9 @@ class DeltaBackend:
                     if not found:
                         continue
                     trans2d = _se2_of(T)
-                    ta = np.asarray(
-                        se2_compose(jnp.asarray(trans2d),
-                                    jnp.asarray(A.estimate(poses)))
-                    )
-                    relpose = np.asarray(
-                        se2_compose(se2_inverse(jnp.asarray(ta)),
-                                    jnp.asarray(B.estimate(poses)))
+                    ta = se2_compose_np(trans2d, A.estimate(poses))
+                    relpose = se2_compose_np(
+                        se2_inverse_np(ta), B.estimate(poses)
                     )
                     eid = self.graph.add_se2_edge(
                         A.node_id, B.node_id, relpose, np.eye(3) * 1e4,
@@ -556,9 +532,8 @@ class DeltaBackend:
             poses = self.poses
             last = self.keyframes[-1]
             est = last.estimate(poses)
-            self.trans_odom2map = np.asarray(
-                se2_compose(jnp.asarray(est),
-                            se2_inverse(jnp.asarray(last.odom2d)))
+            self.trans_odom2map = se2_compose_np(
+                est, se2_inverse_np(last.odom2d)
             )
             self.snapshots = [
                 KeyFrameSnapshot(
@@ -758,24 +733,17 @@ class DeltaBackend:
         ate, t_rpe, r_rpe = [], [], []
         for i, kf in enumerate(kfs):
             est = kf.estimate(poses)
-            delta = np.asarray(
-                se2_compose(se2_inverse(jnp.asarray(kf.gt_pose)),
-                            jnp.asarray(est))
-            )
+            delta = se2_compose_np(se2_inverse_np(kf.gt_pose), est)
             ate.append(np.linalg.norm(delta[:2]))
             if i > 0:
                 prev = kfs[i - 1]
-                rel = np.asarray(se2_compose(
-                    se2_inverse(jnp.asarray(prev.estimate(poses))),
-                    jnp.asarray(est),
-                ))
-                rel_gt = np.asarray(se2_compose(
-                    se2_inverse(jnp.asarray(prev.gt_pose)),
-                    jnp.asarray(kf.gt_pose),
-                ))
-                d = np.asarray(se2_compose(
-                    se2_inverse(jnp.asarray(rel_gt)), jnp.asarray(rel)
-                ))
+                rel = se2_compose_np(
+                    se2_inverse_np(prev.estimate(poses)), est
+                )
+                rel_gt = se2_compose_np(
+                    se2_inverse_np(prev.gt_pose), kf.gt_pose
+                )
+                d = se2_compose_np(se2_inverse_np(rel_gt), rel)
                 t_rpe.append(np.linalg.norm(d[:2]))
                 r_rpe.append(abs(d[2]))
         return {

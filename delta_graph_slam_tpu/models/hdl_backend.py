@@ -22,6 +22,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..geom.se3 import transform_3d_to_2d
+from ..geom.host import transform_3d_to_2d_np
 from ..geom.projection import mercator_from_gps, mercator_scale
 from ..graph import SE3GraphBuilder, SolverConfig, optimize_se3
 from ..pipeline import (
@@ -120,7 +121,7 @@ class HdlBackend:
     # ------------------------------------------------------------- inputs
     def cloud_callback(self, stamp, odom_4x4, cloud, gt_pose=None):
         odom = np.asarray(odom_4x4, float)
-        odom2d = np.asarray(transform_3d_to_2d(jnp.asarray(odom)))
+        odom2d = transform_3d_to_2d_np(odom)
         if not self.keyframe_updater.update(odom2d):
             return
         kf = KeyFrame(

@@ -23,7 +23,7 @@ from typing import NamedTuple, Optional
 import numpy as np
 import jax.numpy as jnp
 
-from ..geom.se3 import transform_3d_to_2d
+from ..geom.host import transform_3d_to_2d_np
 from ..ops.cloud import MaskedCloud
 from ..ops.knn import nn_1
 from ..register import Registration, RegistrationConfig, make_registration
@@ -184,7 +184,7 @@ class ScanMatchingOdometry:
         if not converged:
             pose = self.keyframe_pose @ self.prev_trans
             return OdometryFrame(
-                pose=pose, pose2d=np.asarray(transform_3d_to_2d(pose)),
+                pose=pose, pose2d=transform_3d_to_2d_np(pose),
                 converged=False, matching_error=float(res.fitness),
                 inlier_fraction=frac, relative_pose=T,
                 keyframe_swapped=False, rejected=True,
@@ -206,7 +206,7 @@ class ScanMatchingOdometry:
             if dx > self.cfg.max_acceptable_trans or da > self.cfg.max_acceptable_angle:
                 pose = self.keyframe_pose @ self.prev_trans
                 return OdometryFrame(
-                    pose=pose, pose2d=np.asarray(transform_3d_to_2d(pose)),
+                    pose=pose, pose2d=transform_3d_to_2d_np(pose),
                     converged=True, matching_error=float(res.fitness),
                     inlier_fraction=frac, relative_pose=T,
                     keyframe_swapped=False, rejected=True,
@@ -233,7 +233,7 @@ class ScanMatchingOdometry:
             swapped = True
 
         return OdometryFrame(
-            pose=odom, pose2d=np.asarray(transform_3d_to_2d(odom)),
+            pose=odom, pose2d=transform_3d_to_2d_np(odom),
             converged=True, matching_error=float(res.fitness),
             inlier_fraction=frac, relative_pose=T,
             keyframe_swapped=swapped, rejected=False,

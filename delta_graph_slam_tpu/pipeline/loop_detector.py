@@ -18,8 +18,10 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..geom.se2 import se2_compose, se2_inverse
-from ..geom.se3 import transform_2d_to_3d, transform_3d_to_2d
+from ..geom.host import (
+    se2_compose_np, se2_inverse_np, transform_2d_to_3d_np,
+    transform_3d_to_2d_np,
+)
 from .information_matrix import fitness_score
 from .keyframe import KeyFrame
 
@@ -90,10 +92,10 @@ class LoopDetector:
         best_T = None
         nk_est = new_keyframe.estimate(poses)
         for cand in candidates:
-            guess2d = np.asarray(
-                se2_compose(se2_inverse(nk_est), cand.estimate(poses))
+            guess2d = se2_compose_np(
+                se2_inverse_np(nk_est), cand.estimate(poses)
             )
-            guess = np.asarray(transform_2d_to_3d(guess2d))
+            guess = transform_2d_to_3d_np(guess2d)
             src = self.registration.build_source(cand.cloud)
             res = self.registration._align(src, target, guess)
             score = fitness_score(
@@ -113,5 +115,5 @@ class LoopDetector:
             key1=new_keyframe,
             key2=best,
             relative_pose=best_T,
-            relpose_2d=np.asarray(transform_3d_to_2d(best_T)),
+            relpose_2d=transform_3d_to_2d_np(best_T),
         )
