@@ -11,8 +11,9 @@ make -C delta_graph_slam_tpu/native
 echo "== unit + integration tests =="
 python -m pytest tests/ -q
 
-echo "== smoke replay (CPU) =="
-JAX_PLATFORM_NAME=cpu python -m delta_graph_slam_tpu.cli run \
-    --preset delta --synthetic 8 --eval
+# NB: a full-capacity CLI smoke on CPU costs ~15 min of XLA compiles; the
+# end-to-end coverage lives in tests/test_pipeline_e2e.py (scaled
+# capacities). On a TPU host, add:
+#   python -m delta_graph_slam_tpu.cli run --preset delta --synthetic 20 --eval
 
 echo "CI OK"
