@@ -45,14 +45,27 @@ def voxel_keys(points, mask, resolution, bits=10, origin=None):
 
 
 def _sorted_segments(points, mask, resolution):
-    """Sort points by voxel cell; return sorted pts, validity, first-in-run flags."""
+    """Sort points by voxel cell; return sorted pts, validity, first-in-run flags.
+
+    Cells are ordered by a scrambled hash of the cell coords (exact coords
+    as tie-breakers, so points of one cell stay adjacent): when the number
+    of occupied voxels exceeds the output capacity, the overflow that gets
+    dropped is then a spatially *unbiased* random subset. A plain
+    lexicographic order would silently crop one side of the scan — at
+    KITTI scale (131k raw points / 0.1 m cells vs 32k capacity) that
+    cropped half the field of view and broke registration through turns.
+    """
     coords = voxel_coords(points, resolution)
     invalid = (~mask).astype(jnp.int32)
-    # lexicographic sort: invalid last, then by (ix, iy, iz)
-    inv_s, ix_s, iy_s, iz_s, px, py, pz = jax.lax.sort(
-        (invalid, coords[:, 0], coords[:, 1], coords[:, 2],
+    h = (
+        (coords[:, 0] * jnp.int32(73856093))
+        ^ (coords[:, 1] * jnp.int32(19349669))
+        ^ (coords[:, 2] * jnp.int32(83492791))
+    )
+    inv_s, h_s, ix_s, iy_s, iz_s, px, py, pz = jax.lax.sort(
+        (invalid, h, coords[:, 0], coords[:, 1], coords[:, 2],
          points[:, 0], points[:, 1], points[:, 2]),
-        num_keys=4,
+        num_keys=5,
     )
     valid_s = inv_s == 0
     same = (
