@@ -129,8 +129,18 @@ class Frame:
 def synthetic_city_sequence(
     n_frames=60, seed=0, speed=2.0, dt=0.1, max_range=45.0,
     sensor_height=1.8, yaw_rate=0.15, world: CityWorld = None,
+    trajectory="forward", turn_frames=None,
 ):
-    """Generate (world, [Frame]) along a gently curving forward path."""
+    """Generate (world, [Frame]) along one of two trajectories.
+
+    trajectory='forward': a gently curving forward path (never revisits).
+    trajectory='lap': out-and-back — drive straight ~45% of the frames,
+    u-turn over ~10%, return parallel to the outbound leg a couple of
+    meters off. The return pass comes within loop-closure range of the
+    outbound keyframes while the accumulated travel keeps growing, which
+    exercises the LoopDetector gates
+    (/root/reference/include/hdl_graph_slam/loop_detector.hpp:83-111).
+    """
     world = world or make_city_world(seed=seed)
     rng = np.random.default_rng(seed + 1)
     all_pts = np.concatenate([world.wall_pts, world.ground_pts])
@@ -170,7 +180,13 @@ def synthetic_city_sequence(
         frames.append(Frame(stamp, scan, np.array([x, y, th]), (lat, lon)))
 
         # advance
-        th += yaw_rate * dt * np.sin(k * 0.12)
+        if trajectory == "lap":
+            n_turn = turn_frames or max(6, int(n_frames * 0.10))
+            n_out = (n_frames - n_turn) // 2
+            if n_out <= k < n_out + n_turn:
+                th += m.pi / n_turn
+        else:
+            th += yaw_rate * dt * np.sin(k * 0.12)
         x += speed * dt * np.cos(th)
         y += speed * dt * np.sin(th)
     return world, frames

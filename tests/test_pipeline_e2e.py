@@ -62,6 +62,7 @@ def city():
     return world, frames
 
 
+@pytest.mark.slow
 class TestDeltaPipelineE2E:
     def test_full_run(self, city, tmp_path_factory):
         world, frames = city
@@ -84,8 +85,9 @@ class TestDeltaPipelineE2E:
         # odometry quality: ATE against ground truth (origin-relative)
         metrics = pipe.evaluate()
         assert metrics is not None
-        # synthetic world, clean data: trajectory within a meter
-        assert metrics["ATE_mean"] < 1.0, metrics
+        # synthetic world, clean data: demonstrated accuracy is ~1.4 cm
+        # (README); bound at 10 cm so a 10x regression still fails loudly
+        assert metrics["ATE_mean"] < 0.1, metrics
 
         # map output
         out = tmp_path_factory.mktemp("maps")
@@ -121,6 +123,7 @@ class TestDeltaPipelineE2E:
         assert types.get("yaw", 0) >= 1
 
 
+@pytest.mark.slow
 class TestHdlPipelineE2E:
     def test_floor_and_gps_run(self, city):
         world, frames = city
@@ -157,6 +160,189 @@ class TestHdlPipelineE2E:
         assert backend.floor_plane_node is not None
 
 
+def count_loop_edges(backend):
+    """SE2 edges between non-consecutive keyframe nodes = loop closures."""
+    kf_nodes = [k.node_id for k in backend.keyframes]
+    kf_set = set(kf_nodes)
+    consecutive = {
+        (kf_nodes[i], kf_nodes[i - 1]) for i in range(1, len(kf_nodes))
+    }
+    n = 0
+    for e in backend.graph.edges:
+        if e["type"] != "se2" or e["j"] is None:
+            continue
+        i, j = int(e["i"]), int(e["j"])
+        if i in kf_set and j in kf_set and (i, j) not in consecutive \
+                and (j, i) not in consecutive:
+            n += 1
+    return n
+
+
+class TestImuDeskewWiring:
+    """Pipeline.on_imu feeds the prefilter deskew path: the closest-stamp
+    angular velocity is selected per scan (prefiltering_nodelet.cpp:293-354)."""
+
+    def _pipe(self):
+        cfg = small_delta_cfg()
+        pre = dataclasses.replace(cfg.prefiltering, deskewing=True)
+        cfg = dataclasses.replace(cfg, prefiltering=pre)
+        return Pipeline(cfg, building_provider=StaticProvider("<osm></osm>"))
+
+    def test_closest_stamp_selection(self):
+        pipe = self._pipe()
+        pipe.on_imu(0.05, [1, 0, 0, 0], angular_velocity=[0, 0, 0.5])
+        pipe.on_imu(0.12, [1, 0, 0, 0], angular_velocity=[0, 0, 1.0])
+        av = pipe._closest_imu(0.11)
+        assert av is not None and av[2] == pytest.approx(1.0)
+        # nothing within 0.2 s -> no deskew
+        assert pipe._closest_imu(5.0) is None
+        assert pipe._closest_imu(5.0) is None  # queue survives misses
+
+    def test_deskew_changes_output(self, city):
+        world, frames = city
+        pts = frames[0].points
+        pipe = self._pipe()
+        out_static = pipe.prefiltering.process(pts)
+        out_spun = pipe.prefiltering.process(
+            pts, angular_velocity=np.array([0.0, 0.0, 2.0], np.float32)
+        )
+        a = np.asarray(out_static.filtered3d.points)[
+            np.asarray(out_static.filtered3d.mask)
+        ]
+        b = np.asarray(out_spun.filtered3d.points)[
+            np.asarray(out_spun.filtered3d.mask)
+        ]
+        assert a.shape != b.shape or not np.allclose(a, b, atol=1e-4)
+
+
+class TestThreadedPipeline:
+    """threaded=True overlaps scan processing with the optimizer thread
+    (the reference's nodelet-manager concurrency, launch:23 + delta:793)."""
+
+    @pytest.mark.slow
+    def test_threaded_matches_serial_contract(self, city):
+        world, frames = city
+        cfg = small_delta_cfg()
+        pipe = Pipeline(
+            cfg, building_provider=StaticProvider(world.osm_xml()),
+            threaded=True,
+        )
+        gts = rel_gt(frames)
+        for fr, gt in zip(frames, gts):
+            pipe.on_gps(fr.stamp, *fr.gps)
+            assert pipe.on_points(fr.stamp, fr.points, gt_pose=gt) is None
+        pipe.finish()
+        backend = pipe.backend
+        assert len(backend.keyframes) >= 3
+        m = pipe.evaluate()
+        assert m is not None and m["ATE_mean"] < 0.1, m
+
+    def test_worker_error_propagates(self):
+        cfg = small_delta_cfg()
+        pipe = Pipeline(cfg, building_provider=StaticProvider("<osm></osm>"),
+                        threaded=True)
+        pipe.on_gps(0.0, 49.0, 8.4)
+        pipe.on_points(0.0, "not an array")  # breaks inside the worker
+        import time as _t
+
+        for _ in range(100):
+            if pipe._worker_error is not None:
+                break
+            _t.sleep(0.05)
+        with pytest.raises(Exception):
+            pipe.finish()
+
+
+class TestLoopClosure:
+    """Exercises the LoopDetector end-to-end: the 'lap' trajectory drives
+    out, u-turns and returns along the street, so returning keyframes pass
+    the distance/accum-distance gates (loop_detector.hpp:83-111) and the
+    scan-match validation adds loop edges (delta:816-824)."""
+
+    @pytest.mark.slow
+    def test_lap_closes_loops(self, tmp_path_factory):
+        # 20-frame u-turn: ~0.16 rad/frame, inside the registration's
+        # measured convergence basin (~0.2 rad) under the constant-
+        # velocity prior; the return leg passes ~3.8 m from the outbound
+        # keyframes
+        world, frames = synthetic_city_sequence(
+            n_frames=52, speed=3.0, trajectory="lap", turn_frames=20,
+        )
+        cfg = small_delta_cfg()
+        delta = dataclasses.replace(
+            cfg.delta, distance_thresh=6.0, accum_distance_thresh=6.0,
+            min_edge_interval=3.0, fitness_score_thresh=1.0,
+        )
+        cfg = dataclasses.replace(cfg, delta=delta)
+        pipe = Pipeline(cfg, building_provider=StaticProvider(world.osm_xml()))
+        gts = rel_gt(frames)
+        for fr, gt in zip(frames, gts):
+            pipe.on_gps(fr.stamp, *fr.gps)
+            pipe.on_points(fr.stamp, fr.points, gt_pose=gt)
+        pipe.finish()
+        backend = pipe.backend
+        assert count_loop_edges(backend) >= 1
+        assert backend.loop_detector.last_edge_accum_distance > 0.0
+        m = pipe.evaluate()
+        assert m is not None and m["ATE_mean"] < 0.5, m
+
+    def test_loop_closure_improves_ate(self):
+        """Controlled drift: feed the backend keyframe odometry with an
+        injected random-walk bias; the run with loop closure enabled must
+        beat the run without it on final ATE."""
+        from delta_graph_slam_tpu.models.prefiltering import PrefilteringStage
+
+        world, frames = synthetic_city_sequence(
+            n_frames=52, speed=3.0, trajectory="lap", turn_frames=20,
+        )
+        gts = rel_gt(frames)
+        cfg = small_delta_cfg()
+        pre = PrefilteringStage(cfg.prefiltering)
+
+        def run(enable_loops):
+            from delta_graph_slam_tpu.models.delta_backend import DeltaBackend
+            from delta_graph_slam_tpu.geom.host import (
+                se2_compose_np, se2_inverse_np, transform_2d_to_3d_np,
+            )
+
+            delta = dataclasses.replace(
+                cfg.delta, distance_thresh=6.0, accum_distance_thresh=6.0,
+                min_edge_interval=3.0 if enable_loops else 1e18,
+                fitness_score_thresh=1.0, compute_ate_rpe=True,
+                enable_buildings=False,
+            )
+            backend = DeltaBackend(delta, StaticProvider("<osm></osm>"))
+            rng = np.random.default_rng(3)
+            drift = np.zeros(3)
+            last_opt = frames[0].stamp
+            for fr, gt in zip(frames, gts):
+                backend.gps_callback(fr.stamp, *fr.gps)
+                out = pre.process(fr.points)
+                # odometry = gt composed with an accumulated drift bias
+                drift = drift + np.array([
+                    rng.normal(0.004, 0.004), rng.normal(0.006, 0.004),
+                    rng.normal(0.0015, 0.001),
+                ])
+                odom2d = se2_compose_np(gt, drift)
+                backend.cloud_callback(
+                    fr.stamp, transform_2d_to_3d_np(odom2d),
+                    out.filtered3d, out.filtered2d, gt_pose=gt,
+                )
+                if fr.stamp - last_opt >= delta.graph_update_interval:
+                    backend.optimization_step()
+                    last_opt = fr.stamp
+            backend.optimization_step()
+            m = backend.compute_ate_rpe()
+            return backend, m
+
+        b_loop, m_loop = run(True)
+        b_none, m_none = run(False)
+        assert count_loop_edges(b_loop) >= 1
+        assert count_loop_edges(b_none) == 0
+        assert m_loop["ATE_mean"] < m_none["ATE_mean"], (m_loop, m_none)
+
+
+@pytest.mark.slow
 class TestCheckpointResume:
     def test_save_load_state(self, city, tmp_path_factory):
         world, frames = city
