@@ -63,39 +63,66 @@ class OdometryFrame(NamedTuple):
     prediction_error: np.ndarray = None  # (4,4) T^-1 @ msf_delta
 
 
-@jax.jit
-def _inlier_fraction(points, mask, tgt_points, tgt_mask, T, max_dist):
-    T = jnp.asarray(T, points.dtype)
-    moved = points @ T[:3, :3].T + T[:3, 3]
-    d2, _ = nn_1(moved, mask, tgt_points, tgt_mask)
-    n = jnp.maximum(jnp.sum(mask), 1)
-    return jnp.sum(mask & (d2 < max_dist * max_dist)) / n
+def _make_status_step(reg, cfg: "OdometryConfig"):
+    """Fused per-scan program: source-model build + GN align + status
+    inlier fraction, returning ONE flat f32 vector so the host pays a
+    single device round-trip per frame (the tunneled TPU costs ~30 ms per
+    fetch; the reference computes its ScanMatchingStatus on the host for
+    free, scan_matching_odometry_nodelet.cpp:309-346).
 
-
-@jax.jit
-def _inlier_fraction_voxel(points, mask, tgt, T, max_dist):
-    """Status inliers via the keyframe target's voxel hash (0.5 m << cell
-    size, so the 27-neighborhood covers the gate exactly)."""
-    import numpy as _np
-
+    Layout: [T.ravel() (16), converged, iterations, num_correspondences,
+    mean_error, fitness, inlier_fraction] -> (22,).
+    """
+    from ..register.engine import _make_align_fn
     from ..ops.voxel_knn import voxel_nn
 
-    offs = _np.asarray(
-        [[i, j, l] for i in (-1, 0, 1) for j in (-1, 0, 1)
-         for l in (-1, 0, 1)], _np.int32,
+    align_fn = _make_align_fn(reg.cfg)
+    max_dist = cfg.status_max_correspondence_dist
+    use_voxel = reg.cfg.nn_method == "voxel"
+    # candidate-cell reach covering the status gate for ANY configured
+    # voxel resolution (radius gate max_dist needs ceil(max_dist/res)
+    # cells in each direction — 27 cells only suffice when res >= gate)
+    rad = max(1, int(np.ceil(max_dist / reg.cfg.nn_voxel_resolution)))
+    rng = range(-rad, rad + 1)
+    offs = np.asarray(
+        [[i, j, l] for i in rng for j in rng for l in rng], np.int32
     )
-    T = jnp.asarray(T, points.dtype)
-    moved = points @ T[:3, :3].T + T[:3, 3]
-    d2, _, ok = voxel_nn(tgt.vh, moved, mask, offs, window=8,
-                         max_d2=max_dist * max_dist)
-    n = jnp.maximum(jnp.sum(mask), 1)
-    return jnp.sum(ok) / n
+    hi = jax.lax.Precision.HIGHEST
+
+    def step(cloud: MaskedCloud, tgt, guess):
+        src = reg._build_source_impl(cloud)
+        res = align_fn(src, tgt, guess)
+        T = res.transformation
+        moved = jnp.matmul(cloud.points, T[:3, :3].T, precision=hi) + T[:3, 3]
+        n = jnp.maximum(jnp.sum(cloud.mask), 1)
+        if use_voxel:
+            _, _, ok = voxel_nn(tgt.vh, moved, cloud.mask, offs,
+                                window=reg.cfg.nn_voxel_window,
+                                max_d2=max_dist * max_dist)
+            frac = jnp.sum(ok) / n
+        else:
+            d2, _ = nn_1(moved, cloud.mask, tgt.points, tgt.mask,
+                         chunk=reg.cfg.chunk)
+            frac = jnp.sum(cloud.mask & (d2 < max_dist * max_dist)) / n
+        f32 = jnp.float32
+        return jnp.concatenate([
+            T.reshape(-1).astype(f32),
+            jnp.stack([
+                res.converged.astype(f32), res.iterations.astype(f32),
+                res.num_correspondences.astype(f32),
+                res.mean_error.astype(f32), res.fitness.astype(f32),
+                frac.astype(f32),
+            ]),
+        ])
+
+    return jax.jit(step)
 
 
 class ScanMatchingOdometry:
     def __init__(self, cfg: OdometryConfig = OdometryConfig()):
         self.cfg = cfg
         self.registration: Registration = make_registration(cfg.registration)
+        self._status_step = _make_status_step(self.registration, cfg)
         self.keyframe: Optional[MaskedCloud] = None
         self._keyframe_target = None
         self.keyframe_pose = np.eye(4)
@@ -159,33 +186,20 @@ class ScanMatchingOdometry:
         guess = self.prev_trans @ (
             np.eye(4) if msf_delta is None else np.asarray(msf_delta)
         )
-        src = self.registration.build_source(cloud)
-        res = self.registration._align(
-            src, self._keyframe_target, jnp.asarray(guess, jnp.float32)
-        )
-        T = np.asarray(res.transformation, np.float64)
-        converged = bool(res.converged)
-        if getattr(self._keyframe_target, "vh", None) is not None:
-            frac = float(
-                _inlier_fraction_voxel(
-                    cloud.points, cloud.mask, self._keyframe_target,
-                    T, self.cfg.status_max_correspondence_dist,
-                )
-            )
-        else:
-            frac = float(
-                _inlier_fraction(
-                    cloud.points, cloud.mask,
-                    self.keyframe.points, self.keyframe.mask,
-                    T, self.cfg.status_max_correspondence_dist,
-                )
-            )
+        # one fused dispatch + ONE host fetch for the whole per-scan status
+        out = np.asarray(self._status_step(
+            cloud, self._keyframe_target, jnp.asarray(guess, jnp.float32)
+        ))
+        T = out[:16].reshape(4, 4).astype(np.float64)
+        converged = bool(out[16] > 0.5)
+        fitness = float(out[20])
+        frac = float(out[21])
 
         if not converged:
             pose = self.keyframe_pose @ self.prev_trans
             return OdometryFrame(
                 pose=pose, pose2d=transform_3d_to_2d_np(pose),
-                converged=False, matching_error=float(res.fitness),
+                converged=False, matching_error=fitness,
                 inlier_fraction=frac, relative_pose=T,
                 keyframe_swapped=False, rejected=True,
             )
@@ -207,7 +221,7 @@ class ScanMatchingOdometry:
                 pose = self.keyframe_pose @ self.prev_trans
                 return OdometryFrame(
                     pose=pose, pose2d=transform_3d_to_2d_np(pose),
-                    converged=True, matching_error=float(res.fitness),
+                    converged=True, matching_error=fitness,
                     inlier_fraction=frac, relative_pose=T,
                     keyframe_swapped=False, rejected=True,
                     prediction_label=msf_source, prediction_error=pred_err,
@@ -234,7 +248,7 @@ class ScanMatchingOdometry:
 
         return OdometryFrame(
             pose=odom, pose2d=transform_3d_to_2d_np(odom),
-            converged=True, matching_error=float(res.fitness),
+            converged=True, matching_error=fitness,
             inlier_fraction=frac, relative_pose=T,
             keyframe_swapped=swapped, rejected=False,
             prediction_label=msf_source, prediction_error=pred_err,
