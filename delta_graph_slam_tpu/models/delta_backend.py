@@ -15,6 +15,7 @@ update-source evaluation :811; coverage — not percentage — gate at 35
 """
 
 import dataclasses
+import threading
 from typing import List, Optional
 
 import numpy as np
@@ -117,6 +118,19 @@ def _se2_of(T4):
     return transform_3d_to_2d_np(T4)
 
 
+def _locked(fn):
+    """Serialize backend entry points on self.lock (RLock): message
+    callbacks and the optimization step may run on different threads."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *a, **kw):
+        with self.lock:
+            return fn(self, *a, **kw)
+
+    return wrapper
+
+
 class DeltaBackend:
     def __init__(self, cfg: DeltaBackendConfig = DeltaBackendConfig(),
                  building_provider=None):
@@ -161,6 +175,10 @@ class DeltaBackend:
         self.anchor_edge_id: Optional[int] = None
         self.overlap_edge_ids: List[int] = []
         self.read_until_stamp = 0.0
+        # callbacks and the optimization step run on different threads in
+        # the pipeline's threaded mode (the reference's keyframe_queue /
+        # main-thread mutexes, delta_graph_slam_nodelet.cpp:202,:793)
+        self.lock = threading.RLock()
 
     # ------------------------------------------------------------- poses
     @property
@@ -168,6 +186,7 @@ class DeltaBackend:
         return np.stack(self.graph.poses) if self.graph.poses else np.zeros((0, 3))
 
     # ---------------------------------------------------------- gps path
+    @_locked
     def gps_callback(self, stamp, lat, lon, alt=0.0):
         stamp = stamp + self.cfg.gps_time_offset
         if self.origin is None:
@@ -195,6 +214,7 @@ class DeltaBackend:
             self.buildings_manager.get_buildings(lat, lon)
         self.gps_queue.append((stamp, lat, lon))
 
+    @_locked
     def nmea_callback(self, stamp, sentence):
         rmc = self.nmea_parser.parse(sentence)
         if rmc.valid:
@@ -203,6 +223,7 @@ class DeltaBackend:
     def navsat_callback(self, stamp, lat, lon, alt):
         self.gps_callback(stamp, lat, lon, alt)
 
+    @_locked
     def imu_callback(self, quat_wxyz):
         """First IMU message fixes the initial orientation (:388-421)."""
         if self._imu_seen:
@@ -223,6 +244,7 @@ class DeltaBackend:
             self.graph.set_pose(self.anchor_node, pose)
 
     # ------------------------------------------------------ keyframe path
+    @_locked
     def cloud_callback(self, stamp, odom_4x4, cloud, flat_cloud,
                        gt_pose=None):
         """Synchronized (odom, cloud, flat_cloud) arrival (:202-359)."""
@@ -448,6 +470,7 @@ class DeltaBackend:
         self.graph.update_poses(np.asarray(poses))
         return stats
 
+    @_locked
     def optimization_step(self) -> dict:
         """The 3 s wall-timer body (:793-927). Returns stats."""
         stats = {}
@@ -583,6 +606,7 @@ class DeltaBackend:
         return True
 
     # ------------------------------------------------------- checkpointing
+    @_locked
     def save_state(self, path):
         """Full-session checkpoint: graph + keyframes + buildings + frames
         of reference. Array-native (npz); resume with load_state. (The

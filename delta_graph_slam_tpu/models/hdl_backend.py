@@ -16,6 +16,7 @@ on the SE3 solver:
 """
 
 import dataclasses
+import threading
 from typing import List, Optional
 
 import numpy as np
@@ -36,6 +37,7 @@ from ..pipeline import (
 from ..register import RegistrationConfig, make_registration
 from ..io.pcd import save_pcd
 from ..utils.profiling import StageTimer
+from .delta_backend import _locked
 
 
 @dataclasses.dataclass(frozen=True)
@@ -117,8 +119,11 @@ class HdlBackend:
         self.scale = None
         self._planes = None
         self._points = None
+        # callbacks vs optimization step may run on different threads
+        self.lock = threading.RLock()
 
     # ------------------------------------------------------------- inputs
+    @_locked
     def cloud_callback(self, stamp, odom_4x4, cloud, gt_pose=None):
         odom = np.asarray(odom_4x4, float)
         odom2d = transform_3d_to_2d_np(odom)
@@ -132,10 +137,12 @@ class HdlBackend:
         )
         self.keyframe_queue.append(kf)
 
+    @_locked
     def floor_coeffs_callback(self, stamp, coeffs):
         if coeffs is not None:
             self.floor_queue.append((stamp, np.asarray(coeffs, float)))
 
+    @_locked
     def gps_callback(self, stamp, lat, lon, alt=0.0):
         if self.origin is None:
             self.scale = float(mercator_scale(lat))
@@ -145,6 +152,7 @@ class HdlBackend:
             )
         self.gps_queue.append((stamp + self.cfg.gps_time_offset, lat, lon, alt))
 
+    @_locked
     def imu_callback(self, stamp, quat_wxyz, linear_acceleration):
         self.imu_queue.append(
             (stamp, np.asarray(quat_wxyz, float),
@@ -171,10 +179,8 @@ class HdlBackend:
                 continue
             prev = self.keyframes[-1] if i == 0 else self.keyframe_queue[i - 1]
             rel = np.linalg.inv(prev.odom) @ kf.odom
-            info = self._se3_info(
-                self.inf_calculator.calc_information_matrix(
-                    prev.cloud, kf.cloud, np.linalg.inv(rel)
-                )
+            info = self.inf_calculator.calc_information_matrix_se3(
+                prev.cloud, kf.cloud, np.linalg.inv(rel)
             )
             self.graph.add_se3_edge(
                 prev.node_id, kf.node_id, rel, info,
@@ -183,15 +189,6 @@ class HdlBackend:
             )
         del self.keyframe_queue[:n]
         return True
-
-    @staticmethod
-    def _se3_info(info3):
-        """Lift the SE2 (x,y,yaw) information onto SE3 (t, w) blocks."""
-        info = np.eye(6)
-        info[:2, :2] = info3[:2, :2]
-        info[2, 2] = info3[:2, :2].mean()
-        info[3:, 3:] = np.eye(3) * info3[2, 2]
-        return info
 
     def flush_floor_queue(self) -> bool:
         if not self.cfg.enable_floor or not self.floor_queue:
@@ -314,6 +311,7 @@ class HdlBackend:
             out[i] = np.asarray(transform_3d_to_2d(jnp.asarray(T)))
         return out
 
+    @_locked
     def optimization_step(self) -> dict:
         stats = {}
         kf_updated = self.flush_keyframe_queue()
@@ -329,10 +327,8 @@ class HdlBackend:
             )
         for loop in loops:
             rel = loop.relative_pose
-            info = self._se3_info(
-                self.inf_calculator.calc_information_matrix(
-                    loop.key1.cloud, loop.key2.cloud, rel
-                )
+            info = self.inf_calculator.calc_information_matrix_se3(
+                loop.key1.cloud, loop.key2.cloud, rel
             )
             self.graph.add_se3_edge(
                 loop.key1.node_id, loop.key2.node_id, rel, info,

@@ -5,8 +5,18 @@ backend (Delta SE2 or Hdl SE3) exactly as the launch files wire the
 nodelets (/root/reference/launch/delta_graph_slam.launch:23-73), with the
 backend's optimization step fired on the graph_update_interval timer
 cadence (simulated time based on message stamps for offline replay).
+
+Concurrency: ``threaded=True`` reproduces the nodelet-manager overlap
+(one manager, concurrent callback threads + the 3 s optimization wall
+timer, launch:23 + delta:793): scans flow through a BoundedQueue into a
+scan worker (prefilter -> odometry -> backend enqueue) while a separate
+optimizer thread runs ``optimization_step`` whenever simulated time
+passes the update interval — ingestion no longer stalls for the whole
+LM + de-overlap cycle. The default stays single-threaded (deterministic,
+simplest for tests).
 """
 
+import threading
 from typing import Optional
 
 import numpy as np
@@ -22,7 +32,8 @@ from ..utils.profiling import StageTimer
 
 class Pipeline:
     def __init__(self, cfg: PipelineConfig, building_provider=None,
-                 base_T: Optional[np.ndarray] = None):
+                 base_T: Optional[np.ndarray] = None, threaded: bool = False,
+                 scan_queue_size: int = 8):
         self.cfg = cfg
         self.prefiltering = PrefilteringStage(cfg.prefiltering)
         self.odometry = ScanMatchingOdometry(cfg.odometry)
@@ -41,9 +52,29 @@ class Pipeline:
         self.frames_processed = 0
         # read_until flow control (scan_matching_odometry:133-139,
         # delta:220-230): consumers advertise how far they have processed
-        from .flow import Watermark
+        from .flow import BoundedQueue, Watermark
 
         self.watermark = Watermark()
+        self._imu_queue = []
+        self._imu_lock = threading.Lock()
+
+        self.threaded = threaded
+        self._scan_queue = None
+        self._opt_due = threading.Event()
+        self._stop = threading.Event()
+        self._scan_thread = None
+        self._opt_thread = None
+        self._worker_error = None
+        if threaded:
+            self._scan_queue = BoundedQueue(maxlen=scan_queue_size)
+            self._scan_thread = threading.Thread(
+                target=self._scan_worker, name="scan_worker", daemon=True
+            )
+            self._opt_thread = threading.Thread(
+                target=self._opt_worker, name="optimizer", daemon=True
+            )
+            self._scan_thread.start()
+            self._opt_thread.start()
 
     # ---- message entry points -----------------------------------------
     def on_gps(self, stamp, lat, lon, alt=0.0):
@@ -55,6 +86,15 @@ class Pipeline:
 
     def on_imu(self, stamp, quat_wxyz, angular_velocity=None,
                linear_acceleration=None):
+        # deskew source: keep a bounded IMU queue; each scan picks the
+        # closest-stamp angular velocity (prefiltering_nodelet.cpp:293-354)
+        if angular_velocity is not None:
+            with self._imu_lock:
+                self._imu_queue.append(
+                    (float(stamp), np.asarray(angular_velocity, np.float32))
+                )
+                if len(self._imu_queue) > 512:
+                    del self._imu_queue[:256]
         if isinstance(self.backend, DeltaBackend):
             self.backend.imu_callback(quat_wxyz)
         else:
@@ -63,6 +103,20 @@ class Pipeline:
                 np.zeros(3) if linear_acceleration is None
                 else linear_acceleration,
             )
+
+    def _closest_imu(self, stamp):
+        """Angular velocity of the IMU sample closest to the scan stamp,
+        or None when the queue is empty / nothing within 0.2 s
+        (the reference iterates imu_queue for the nearest msg,
+        prefiltering_nodelet.cpp:293-354)."""
+        with self._imu_lock:
+            if not self._imu_queue:
+                return None
+            # drop samples well before this scan (stream moves forward)
+            while len(self._imu_queue) > 1 and self._imu_queue[1][0] <= stamp:
+                self._imu_queue.pop(0)
+            best = min(self._imu_queue, key=lambda e: abs(e[0] - stamp))
+        return best[1] if abs(best[0] - stamp) <= 0.2 else None
 
     def on_msf_pose(self, stamp, pose_4x4, after_update=False):
         """IMU-frontend (msf) pose input for the odometry initial guess
@@ -85,8 +139,47 @@ class Pipeline:
             return None, ""  # msf data is too old (:160-162)
         return np.linalg.inv(p0[1]) @ p1[1], "imu"
 
+    # ---- threaded mode workers ------------------------------------------
+    def _scan_worker(self):
+        while True:
+            item = self._scan_queue.get()
+            if item is None:        # queue closed and drained
+                return
+            try:
+                self._process_points(*item)
+            except Exception as e:  # surface on finish()
+                self._worker_error = e
+                self._scan_queue.close()
+                return
+
+    def _opt_worker(self):
+        while not self._stop.is_set():
+            if not self._opt_due.wait(timeout=0.2):
+                continue
+            self._opt_due.clear()
+            try:
+                self.optimize()
+            except Exception as e:
+                self._worker_error = e
+                return
+
     def on_points(self, stamp, points, gt_pose=None, angular_velocity=None):
-        """Full per-scan path: prefilter -> odometry -> backend enqueue."""
+        """Full per-scan path: prefilter -> odometry -> backend enqueue.
+
+        In threaded mode the scan is enqueued (bounded, blocking put =
+        backpressure like the reference's subscriber queue) and None is
+        returned; processing happens on the scan worker."""
+        if self.threaded:
+            if self._worker_error is not None:
+                raise self._worker_error
+            self._scan_queue.put((stamp, points, gt_pose, angular_velocity))
+            return None
+        return self._process_points(stamp, points, gt_pose, angular_velocity)
+
+    def _process_points(self, stamp, points, gt_pose=None,
+                        angular_velocity=None):
+        if angular_velocity is None and self.cfg.prefiltering.deskewing:
+            angular_velocity = self._closest_imu(stamp)
         with self.timer.stage("prefiltering"):
             out = self.prefiltering.process(
                 points, base_T=self.base_T, angular_velocity=angular_velocity
@@ -124,7 +217,10 @@ class Pipeline:
         if self._last_opt_stamp is None:
             self._last_opt_stamp = stamp
         if stamp - self._last_opt_stamp >= self._interval:
-            self.optimize()
+            if self.threaded:
+                self._opt_due.set()   # optimizer thread picks it up
+            else:
+                self.optimize()
             self._last_opt_stamp = stamp
         return frame
 
@@ -135,6 +231,13 @@ class Pipeline:
     # ---- finishing -----------------------------------------------------
     def finish(self):
         """Flush all queues and run a final optimization."""
+        if self.threaded:
+            self._scan_queue.close()
+            self._scan_thread.join()
+            self._stop.set()
+            self._opt_thread.join()
+            if self._worker_error is not None:
+                raise self._worker_error
         stats = {}
         for _ in range(10):
             s = self.backend.optimization_step()
