@@ -183,6 +183,80 @@ def save_g2o_se3(builder, path):
         f.write("\n".join(kernel_lines) + ("\n" if kernel_lines else ""))
 
 
+def _sym_from_upper(u, d):
+    """Upper-triangular row-major values -> full symmetric (d,d)."""
+    M = np.zeros((d, d))
+    k = 0
+    for i in range(d):
+        for j in range(i, d):
+            M[i, j] = M[j, i] = u[k]
+            k += 1
+    return M
+
+
+def load_g2o_se3(path):
+    """Parse the subset written by save_g2o_se3 (the reference reads its
+    dumps back with g2o's load + robust_kernel_io.cpp:46-151; this is the
+    SE3 round-trip counterpart of load_g2o)."""
+    from .se3_graph import SE3GraphBuilder
+
+    b = SE3GraphBuilder()
+    kernels = {}
+    try:
+        with open(str(path) + ".kernels") as f:
+            f.readline()
+            for line in f:
+                parts = line.split()
+                if len(parts) < 3:
+                    continue
+                nv = int(parts[0])
+                sig = (nv,) + tuple(int(x) for x in parts[1 : 1 + nv])
+                kernels[sig] = (parts[1 + nv], float(parts[2 + nv]))
+    except FileNotFoundError:
+        pass
+
+    fixed_ids = set()
+    edges = []
+    plane_base = None  # plane vertex ids are written offset by #poses
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            tag = parts[0]
+            if tag == "VERTEX_SE3:QUAT":
+                t = [float(x) for x in parts[2:5]]
+                qx, qy, qz, qw = (float(x) for x in parts[5:9])
+                b.add_se3_node(np.asarray(t + [qw, qx, qy, qz]))
+            elif tag == "VERTEX_PLANE":
+                if plane_base is None:
+                    plane_base = int(parts[1])
+                b.add_plane_node([float(x) for x in parts[2:6]])
+            elif tag == "FIX":
+                fixed_ids.add(int(parts[1]))
+            elif tag in ("EDGE_SE3:QUAT", "EDGE_SE3_PLANE"):
+                edges.append(parts)
+    for vid in fixed_ids:
+        b.set_fixed(vid, True)
+    for parts in edges:
+        if parts[0] == "EDGE_SE3:QUAT":
+            i, j = int(parts[1]), int(parts[2])
+            t = [float(x) for x in parts[3:6]]
+            qx, qy, qz, qw = (float(x) for x in parts[6:10])
+            u = [float(x) for x in parts[10:31]]
+            k, d = kernels.get((2, i, j), ("NONE", 1.0))
+            b.add_se3_edge(i, j, np.asarray(t + [qw, qx, qy, qz]),
+                           _sym_from_upper(u, 6), kernel=k, delta=d)
+        else:  # EDGE_SE3_PLANE i plane_vid coeffs(4) info_upper(6)
+            i = int(parts[1])
+            p = int(parts[2]) - (plane_base if plane_base is not None
+                                 else len(b.poses))
+            coeffs = [float(x) for x in parts[3:7]]
+            u = [float(x) for x in parts[7:13]]
+            b.add_se3_plane_edge(i, p, coeffs, _sym_from_upper(u, 3))
+    return b
+
+
 def save_npz(builder: SE2GraphBuilder, path):
     """Array-native checkpoint (the fast path; poses + full edge tables)."""
     g = builder.to_arrays()

@@ -103,22 +103,35 @@ class SE2GraphBuilder:
         self.fixed = []
         self.edges = []       # dicts: type, i, j, meas, info, level, kernel, delta
         self._next_edge_id = 0
+        # incremental-export cache: the backend calls to_arrays 3+ times
+        # per optimization cycle (levels 0/1 + de-overlap rounds) — only
+        # tables whose contents changed are repacked and re-uploaded
+        self._dirty = {"v": True, "se2": True, "xy": True, "yaw": True}
+        self._cache_key = None
+        self._dev = {}
+
+    def _mark(self, key):
+        self._dirty[key] = True
 
     # ---- vertices
     def add_vertex(self, pose, fixed=False) -> int:
         self.poses.append(np.asarray(pose, self.dtype))
         self.fixed.append(bool(fixed))
+        self._mark("v")
         return len(self.poses) - 1
 
     def set_fixed(self, vid, fixed=True):
-        self.fixed[vid] = bool(fixed)
+        if self.fixed[vid] != bool(fixed):
+            self.fixed[vid] = bool(fixed)
+            self._mark("v")
 
     def set_all_fixed(self, fixed, only=None):
         for v in range(len(self.fixed)) if only is None else only:
-            self.fixed[v] = bool(fixed)
+            self.set_fixed(v, fixed)
 
     def set_pose(self, vid, pose):
         self.poses[vid] = np.asarray(pose, self.dtype)
+        self._mark("v")
 
     @property
     def num_vertices(self):
@@ -139,6 +152,7 @@ class SE2GraphBuilder:
                  level=int(level), kernel=kernel_id(kernel),
                  delta=float(delta))
         )
+        self._mark(etype)
         return eid
 
     def add_se2_edge(self, i, j, meas, info, level=0, kernel="NONE", delta=1.0):
@@ -160,6 +174,9 @@ class SE2GraphBuilder:
         )
 
     def remove_edge(self, eid):
+        for e in self.edges:
+            if e["id"] == eid:
+                self._mark(e["type"])
         self.edges = [e for e in self.edges if e["id"] != eid]
 
     # ---- export
@@ -175,14 +192,6 @@ class SE2GraphBuilder:
         nv = len(self.poses)
         vc = v_capacity or self._cap(nv)
         assert vc >= nv
-
-        poses = np.zeros((vc, 3), dtype)
-        if nv:
-            poses[:nv] = np.stack(self.poses)
-        fixed = np.zeros(vc, bool)
-        fixed[:nv] = self.fixed
-        vmask = np.zeros(vc, bool)
-        vmask[:nv] = True
 
         def pack(etype, jdim, mdim, idim):
             es = [e for e in self.edges if e["type"] == etype]
@@ -208,19 +217,58 @@ class SE2GraphBuilder:
                 mask[k] = True
             return i, j, meas, info, level, kern, delt, mask
 
-        i, j, m, o, l, k, d, msk = pack("se2", True, (3,), (3, 3))
-        edges = SE2Edges(*map(jnp.asarray, (i, j, m, o, l, k, d, msk)))
-        i, _, m, o, l, k, d, msk = pack("xy", False, (2,), (2, 2))
-        pxy = SE2PriorXYEdges(*map(jnp.asarray, (i, m, o, l, k, d, msk)))
-        i, _, m, o, l, k, d, msk = pack("yaw", False, (), ())
-        pyaw = SE2PriorYawEdges(*map(jnp.asarray, (i, m, o, l, k, d, msk)))
-        return SE2Graph(
-            jnp.asarray(poses), jnp.asarray(fixed), jnp.asarray(vmask),
-            edges, pxy, pyaw,
+        # cache invalidation: capacity growth or dtype change rebuilds
+        # everything (those retrigger XLA compiles anyway); otherwise only
+        # tables whose contents changed since the last call are repacked
+        counts = tuple(
+            sum(e["type"] == t for e in self.edges)
+            for t in ("se2", "xy", "yaw")
         )
+        key = (vc, e_capacity,
+               tuple(max(e_capacity or 0, self._cap(c)) for c in counts),
+               np.dtype(dtype).name)
+        if key != self._cache_key:
+            self._cache_key = key
+            self._dev = {}
+            for t in self._dirty:
+                self._dirty[t] = True
+
+        if self._dirty["v"] or "v" not in self._dev:
+            poses = np.zeros((vc, 3), dtype)
+            if nv:
+                poses[:nv] = np.stack(self.poses)
+            fixed = np.zeros(vc, bool)
+            fixed[:nv] = self.fixed
+            vmask = np.zeros(vc, bool)
+            vmask[:nv] = True
+            self._dev["v"] = tuple(map(jnp.asarray, (poses, fixed, vmask)))
+            self._dirty["v"] = False
+        if self._dirty["se2"] or "se2" not in self._dev:
+            i, j, m, o, l, k, d, msk = pack("se2", True, (3,), (3, 3))
+            self._dev["se2"] = SE2Edges(
+                *map(jnp.asarray, (i, j, m, o, l, k, d, msk))
+            )
+            self._dirty["se2"] = False
+        if self._dirty["xy"] or "xy" not in self._dev:
+            i, _, m, o, l, k, d, msk = pack("xy", False, (2,), (2, 2))
+            self._dev["xy"] = SE2PriorXYEdges(
+                *map(jnp.asarray, (i, m, o, l, k, d, msk))
+            )
+            self._dirty["xy"] = False
+        if self._dirty["yaw"] or "yaw" not in self._dev:
+            i, _, m, o, l, k, d, msk = pack("yaw", False, (), ())
+            self._dev["yaw"] = SE2PriorYawEdges(
+                *map(jnp.asarray, (i, m, o, l, k, d, msk))
+            )
+            self._dirty["yaw"] = False
+
+        poses, fixed, vmask = self._dev["v"]
+        return SE2Graph(poses, fixed, vmask, self._dev["se2"],
+                        self._dev["xy"], self._dev["yaw"])
 
     def update_poses(self, poses):
         """Pull optimized poses back into the builder."""
         poses = np.asarray(poses)
         for v in range(len(self.poses)):
             self.poses[v] = poses[v].astype(self.dtype)
+        self._mark("v")

@@ -29,7 +29,10 @@ def _fitness(points1, mask1, points2, mask2, T, max_range):
     T = jnp.asarray(T, points2.dtype)
     moved = points2 @ T[:3, :3].T + T[:3, 3]
     d2, _ = nn_1(moved, mask2, points1, mask1)
-    ok = mask2 & jnp.isfinite(d2) & (d2 <= max_range * max_range)
+    # reference quirk (information_matrix_calculator.cpp:96, PCL
+    # getFitnessScore): the SQUARED NN distance is compared to the
+    # un-squared max_range, so points up to sqrt(max_range) are accepted.
+    ok = mask2 & jnp.isfinite(d2) & (d2 <= max_range)
     nr = jnp.sum(ok)
     s = jnp.sum(jnp.where(ok, d2, 0.0))
     return jnp.where(nr > 0, s / jnp.maximum(nr, 1), jnp.inf), nr
@@ -95,6 +98,22 @@ class InformationMatrixCalculator:
             ])
         f = fitness_score(cloud1, cloud2, relpose)
         return self._weighted_info(f)
+
+    def calc_information_matrix_se3(self, cloud1, cloud2, relpose):
+        """6-DoF variant as used with SE3 edges upstream
+        (information_matrix_calculator.cpp:53-75): one translational
+        weight on all three axes, one rotational weight on all three."""
+        if self.use_const_inf_matrix:
+            return np.diag(
+                [1.0 / self.const_stddev_x] * 3
+                + [1.0 / self.const_stddev_q] * 3
+            )
+        f = fitness_score(cloud1, cloud2, relpose)
+        w_x = self.weight(self.var_gain_a, self.fitness_score_thresh,
+                          self.min_stddev_x**2, self.max_stddev_x**2, f)
+        w_q = self.weight(self.var_gain_a, self.fitness_score_thresh,
+                          self.min_stddev_q**2, self.max_stddev_q**2, f)
+        return np.diag([1.0 / w_x] * 3 + [1.0 / w_q] * 3)
 
     def calc_information_matrix_buildings_global(self, fitness):
         if self.use_const_inf_matrix:

@@ -164,6 +164,67 @@ class TestSE2Optimize:
         assert int(stats.iterations) == -1
 
 
+class TestToArraysCache:
+    """to_arrays is called 3+ times per backend cycle; unchanged tables
+    must be reused (same device buffers), changed ones repacked."""
+
+    def _b(self):
+        from delta_graph_slam_tpu.graph import SE2GraphBuilder
+
+        b = SE2GraphBuilder()
+        b.add_vertex([0, 0, 0], fixed=True)
+        b.add_vertex([1, 0, 0])
+        b.add_se2_edge(0, 1, [1, 0, 0], np.eye(3))
+        b.add_prior_xy(1, [1, 0], np.eye(2))
+        return b
+
+    def test_unchanged_tables_are_reused(self):
+        b = self._b()
+        g1 = b.to_arrays()
+        g2 = b.to_arrays()
+        assert g2.edges.meas is g1.edges.meas
+        assert g2.poses is g1.poses
+
+    def test_pose_update_only_touches_vertices(self):
+        b = self._b()
+        g1 = b.to_arrays()
+        b.set_pose(1, [2.0, 0.0, 0.0])
+        g2 = b.to_arrays()
+        assert g2.edges.meas is g1.edges.meas          # edges reused
+        assert g2.poses is not g1.poses
+        np.testing.assert_allclose(np.asarray(g2.poses)[1], [2, 0, 0])
+
+    def test_edge_add_and_remove_invalidate(self):
+        b = self._b()
+        g1 = b.to_arrays()
+        eid = b.add_se2_edge(1, 0, [-1, 0, 0], np.eye(3))
+        g2 = b.to_arrays()
+        assert int(np.asarray(g2.edges.mask).sum()) == 2
+        assert g2.priors_xy.meas is g1.priors_xy.meas  # untouched type
+        b.remove_edge(eid)
+        g3 = b.to_arrays()
+        assert int(np.asarray(g3.edges.mask).sum()) == 1
+
+    def test_capacity_growth_rebuilds(self):
+        b = self._b()
+        g1 = b.to_arrays()
+        cap = g1.edges.i.shape[0]
+        for k in range(cap + 1):
+            b.add_se2_edge(0, 1, [1, 0, 0], np.eye(3))
+        g2 = b.to_arrays()
+        assert g2.edges.i.shape[0] > cap
+        assert int(np.asarray(g2.edges.mask).sum()) == cap + 2
+
+    def test_set_fixed_invalidates_vertices(self):
+        b = self._b()
+        g1 = b.to_arrays()
+        b.set_fixed(1, True)
+        g2 = b.to_arrays()
+        assert bool(np.asarray(g2.fixed)[1])
+        assert g2.edges.meas is g1.edges.meas
+
+
+@pytest.mark.slow
 class TestSE3Optimize:
     def _chain(self, n=8, seed=2):
         rng = np.random.default_rng(seed)

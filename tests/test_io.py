@@ -163,6 +163,47 @@ class TestGraphIO:
         assert back.num_edges == b.num_edges
         np.testing.assert_allclose(back.poses[2], [2.0, 0.6, 0.2])
 
+    def test_g2o_se3_roundtrip(self, tmp_path):
+        from scipy.spatial.transform import Rotation
+
+        from delta_graph_slam_tpu.graph.se3_graph import SE3GraphBuilder
+        from delta_graph_slam_tpu.graph.graph_io import (
+            save_g2o_se3, load_g2o_se3,
+        )
+
+        b = SE3GraphBuilder()
+        q = Rotation.from_euler("xyz", [0.05, -0.1, 0.4]).as_quat()  # xyzw
+        pose7 = np.array([1.0, 2.0, 0.3, q[3], q[0], q[1], q[2]])
+        b.add_se3_node(np.eye(4), fixed=True)
+        b.add_se3_node(pose7)
+        b.add_se3_node([2.0, 2.1, 0.3, 1.0, 0.0, 0.0, 0.0])
+        info6 = np.diag([10.0, 10.0, 10.0, 40.0, 40.0, 40.0])
+        info6[0, 1] = info6[1, 0] = 0.5
+        b.add_se3_edge(0, 1, pose7, info6, kernel="Huber", delta=1.5)
+        b.add_se3_edge(1, 2, [1.0, 0.1, 0.0, 1.0, 0.0, 0.0, 0.0], np.eye(6))
+        pid = b.add_plane_node([0.0, 0.0, 1.0, -0.2])
+        b.add_se3_plane_edge(1, pid, [0.0, 0.0, 1.0, -0.2], np.eye(3) * 3)
+
+        path = str(tmp_path / "g3.g2o")
+        save_g2o_se3(b, path)
+        back = load_g2o_se3(path)
+        assert len(back.poses) == 3 and len(back.planes) == 1
+        assert back.fixed[0] and not back.fixed[1]
+        np.testing.assert_allclose(back.poses[1], pose7, atol=1e-9)
+        np.testing.assert_allclose(back.planes[0], [0.0, 0.0, 1.0, -0.2],
+                                   atol=1e-9)
+        se3 = [e for e in back.edges if e["type"] == "se3"]
+        assert len(se3) == 2
+        np.testing.assert_allclose(se3[0]["info"], info6, atol=1e-9)
+        np.testing.assert_allclose(se3[0]["meas"], pose7, atol=1e-9)
+        from delta_graph_slam_tpu.graph.robust import ROBUST_KERNELS
+
+        assert ROBUST_KERNELS[se3[0]["kernel"]] == "Huber"
+        assert se3[0]["delta"] == 1.5
+        pl = [e for e in back.edges if e["type"] == "se3plane"]
+        assert len(pl) == 1 and pl[0]["p"] == 0
+        np.testing.assert_allclose(pl[0]["info"], np.eye(3) * 3, atol=1e-9)
+
     def test_optimization_equivalence(self, tmp_path):
         """Solving a saved+loaded graph matches solving the original."""
         from delta_graph_slam_tpu.graph import (
