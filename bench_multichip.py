@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Multi-chip benchmark on a virtual CPU mesh (BASELINE config 5 scope).
+
+Real multi-chip hardware is not available in this container, so this
+bench validates *correctness and scaling shape* of the sharded paths on
+an ``--xla_force_host_platform_device_count`` CPU mesh (the same
+mechanism the driver's dryrun uses):
+
+  1. optimize_se2_sharded at 16k nodes: solution matches the unsharded
+     solver bit-for-bit-ish (same program, GSPMD-partitioned), timed per
+     mesh size (1/2/4/8) — on a single host CPU the times are expected
+     roughly flat (it is one physical core); the point is that the
+     partitioned program compiles, runs, and agrees.
+  2. MultiBagOdometry with B=8 bags sharded over 'dp', lockstep frames
+     on distinct synthetic-city scans — aggregate scans/sec vs B=1.
+
+Self-bootstrapping like __graft_entry__.dryrun_multichip: respawns under
+a virtual CPU mesh when the host exposes fewer devices.
+
+Prints one JSON line per benchmark.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+N_DEVICES = 8
+
+
+def _respawn():
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        flags = (
+            flags + f" --xla_force_host_platform_device_count={N_DEVICES}"
+        ).strip()
+    env = dict(os.environ, _DGS_BENCH_CHILD="1", JAX_PLATFORMS="cpu",
+               JAX_PLATFORM_NAME="cpu", XLA_FLAGS=flags)
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import bench_multichip as b\n"
+        "b.main()\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          cwd=os.path.dirname(os.path.abspath(__file__)))
+    sys.exit(proc.returncode)
+
+
+def bench_sharded_lm(n_nodes=16384):
+    import numpy as np
+    import jax
+
+    from bench import _build_bench_graph
+    from delta_graph_slam_tpu.graph import SolverConfig, optimize_se2
+    from delta_graph_slam_tpu.parallel import make_mesh, optimize_se2_sharded
+
+    b, gt = _build_bench_graph(n_nodes)
+    g = b.to_arrays()          # built ONCE; stays out of the timed loop
+    cfg = SolverConfig(backend="cg", max_iterations=20, cg_max_iters=50,
+                       cg_rtol=1e-5)
+
+    ref_poses, ref_stats = optimize_se2(g, level=0, config=cfg)
+    ref_np = np.asarray(ref_poses)[:n_nodes]
+
+    out = {"metric": "sharded_lm_16k", "nodes": n_nodes,
+           "unit": "ms/iter per mesh size (virtual CPU mesh)"}
+    for n_mesh in (1, 2, 4, 8):
+        mesh = make_mesh(n_mesh, dp=1, mp=n_mesh)
+        poses, stats = optimize_se2_sharded(g, mesh, level=0, config=cfg,
+                                            axis="mp")  # compile
+        jax.block_until_ready(poses)
+        t0 = time.perf_counter()
+        poses, stats = optimize_se2_sharded(g, mesh, level=0, config=cfg,
+                                            axis="mp")
+        poses_np = np.asarray(poses)[:n_nodes]
+        dt = time.perf_counter() - t0
+        iters = max(int(stats.iterations), 1)
+        err = float(np.max(np.abs(poses_np - ref_np)))
+        out[f"mesh{n_mesh}_ms_per_iter"] = round(dt * 1000 / iters, 3)
+        out[f"mesh{n_mesh}_max_dev_vs_unsharded"] = round(err, 9)
+        assert err < 1e-4, f"sharded solve diverged from reference: {err}"
+    out["chi2_reduction"] = round(
+        float(ref_stats.chi2_final / max(float(ref_stats.chi2_initial),
+                                         1e-9)), 6)
+    print(json.dumps(out))
+
+
+def bench_multibag(n_frames=12, n_points=8192):
+    import numpy as np
+
+    from delta_graph_slam_tpu import ops
+    from delta_graph_slam_tpu.io.kitti import synthetic_city_sequence
+    from delta_graph_slam_tpu.parallel import make_mesh
+    from delta_graph_slam_tpu.parallel.multibag import MultiBagOdometry
+    from delta_graph_slam_tpu.register import RegistrationConfig
+
+    cfg = RegistrationConfig(method="FAST_GICP", maximum_iterations=16,
+                             chunk=1024, correspondence_randomness=10)
+    _, frames = synthetic_city_sequence(n_frames=n_frames + 2, speed=3.0)
+    clouds = [ops.make_cloud(fr.points[:n_points], capacity=n_points)
+              for fr in frames]
+
+    out = {"metric": "multibag_odometry",
+           "unit": "aggregate scans/sec (B bags lockstep, virtual mesh)"}
+    for B, mesh in ((1, None), (8, make_mesh(8, dp=8, mp=1))):
+        mb = MultiBagOdometry(cfg, n_bags=B, keyframe_delta_trans=1.0,
+                              mesh=mesh)
+        # each "bag" replays the same sequence offset by one frame
+        seq = [[clouds[(k + b) % len(clouds)] for b in range(B)]
+               for k in range(n_frames)]
+        mb.process(seq[0])    # targets + compile
+        mb.process(seq[1])    # warm align path
+        t0 = time.perf_counter()
+        for step in seq[2:]:
+            odom = mb.process(step)
+        dt = time.perf_counter() - t0
+        agg = B * len(seq[2:]) / dt
+        out[f"B{B}_scans_per_sec"] = round(agg, 2)
+        assert np.isfinite(odom).all()
+    out["scaling_B8_over_B1"] = round(
+        out["B8_scans_per_sec"] / out["B1_scans_per_sec"], 2)
+    print(json.dumps(out))
+
+
+def main():
+    import jax
+
+    if (len(jax.devices()) < N_DEVICES
+            and not os.environ.get("_DGS_BENCH_CHILD")):
+        _respawn()
+        return
+    bench_sharded_lm()
+    bench_multibag()
+
+
+if __name__ == "__main__":
+    main()

@@ -85,14 +85,17 @@ int64_t pcio_load_pcd(const char* path, float** out) {
   char line[1024];
   long long n = -1;
   bool binary = false;
-  int nfields = 3;
   long data_off = -1;
   while (fgets(line, sizeof(line), f)) {
     if (strncmp(line, "FIELDS", 6) == 0) {
-      nfields = 0;
-      for (char* p = line + 6; *p; ++p)
-        if (*p == ' ' && *(p + 1) != '\n' && *(p + 1) != '\0') nfields++;
+      // only exactly "FIELDS x y z" matches the fixed 3-float stride
+      // below; anything else (e.g. "FIELDS x y z intensity") returns -2
+      // so the caller falls back to the Python reader, which handles
+      // arbitrary field layouts.
       if (strncmp(line, "FIELDS x y z", 12) != 0) { fclose(f); return -2; }
+      for (char* p = line + 12; *p; ++p) {
+        if (*p != ' ' && *p != '\n' && *p != '\r') { fclose(f); return -2; }
+      }
     } else if (strncmp(line, "POINTS", 6) == 0) {
       n = atoll(line + 7);
     } else if (strncmp(line, "DATA", 4) == 0) {
