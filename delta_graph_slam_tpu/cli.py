@@ -40,11 +40,21 @@ def _cmd_run(args):
         import jax.numpy as jnp
         from .geom import se2_compose, se2_inverse
 
+        import time as _time
+
         g0_inv = se2_inverse(jnp.asarray(frames[0].gt_pose))
-        for fr in frames:
+        t_run0 = _time.perf_counter()
+        for i, fr in enumerate(frames):
             gt = np.asarray(se2_compose(g0_inv, jnp.asarray(fr.gt_pose)))
             pipe.on_gps(fr.stamp, *fr.gps)
+            t0 = _time.perf_counter()
             pipe.on_points(fr.stamp, fr.points, gt_pose=gt)
+            print(
+                f"frame {i + 1}/{len(frames)}  "
+                f"{_time.perf_counter() - t0:7.2f}s  "
+                f"(total {_time.perf_counter() - t_run0:7.1f}s)",
+                file=sys.stderr, flush=True,
+            )
     elif args.bag:
         from .io.bag import Bag
 

@@ -7,8 +7,10 @@ edge_extraction/get_edges/align_edges/align_lines
 (src/hdl_graph_slam/line_based_scanmatcher.cpp:459-767).
 """
 
+from functools import partial
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,6 +48,7 @@ def make_lines(a, b, capacity=None, dtype=jnp.float32) -> LineSegments:
     )
 
 
+@jax.jit
 def transform_lines(lines: LineSegments, T) -> LineSegments:
     """Apply a rigid transform; T may be (3,3) SE2 or (4,4) SE3 (xy part)."""
     T = jnp.asarray(T, lines.a.dtype)
@@ -85,6 +88,8 @@ def lines_intersection(a1, b1, a2, b2):
     return jnp.stack([x, y], -1), ok
 
 
+@partial(jax.jit, static_argnames=(
+    "only_angular_edges", "max_dist_angular_edge", "capacity"))
 def edge_extraction(
     lines: LineSegments,
     only_angular_edges: bool = False,
@@ -96,6 +101,11 @@ def edge_extraction(
     Vectorizes get_edges' four-case analysis (line_based_scanmatcher.cpp:
     502-682): for every unordered pair (i<j) up to 4 candidate edges are
     emitted with masks; results are compacted into ``capacity`` slots.
+
+    Jitted as one program: called eagerly this body is ~10^2 tiny op
+    dispatches per invocation, each a distinct first-call XLA compile —
+    minutes of host stall per session on the per-keyframe backend path
+    (delta_backend cloud_callback -> align_global/align_local).
     """
     L = lines.a.shape[0]
     ii, jj = jnp.triu_indices(L, k=1)

@@ -50,13 +50,18 @@ class PrefilteringConfig:
     deskewing: bool = False
     normal_filter_thresh: float = 0.2         # fixed in reference (:181, :238)
     normal_k: int = 10
+    normal_radius: float = 0.75               # dense path: radius-search normals
     # capacities (static shapes)
     raw_capacity: int = 131072
     out_capacity: int = 32768
     chunk: int = 2048
-    # neighbor search backend for the radius filter and kNN normals:
-    # 'voxel' (hash-bounded candidates, fast on TPU) or 'brute' (exact)
-    neighbor_method: str = "voxel"
+    # neighbor search backend for the radius filter and normals:
+    # 'dense' (exact radius stats via masked-moments matmuls — the MXU path),
+    # 'voxel' (hash-bounded kNN candidates) or 'brute' (exact tiled kNN).
+    # 'auto' resolves at stage build: dense on TPU (38 ms/frame vs 136 voxel
+    # on v5e), voxel on CPU hosts where the 32k x 32k indicator matmuls of
+    # the dense path are the bottleneck instead.
+    neighbor_method: str = "auto"
 
 
 class PrefilterOutput(NamedTuple):
@@ -75,7 +80,15 @@ def colored_by_order(points: np.ndarray) -> np.ndarray:
     ).astype(np.uint8)
 
 
+def _resolve_neighbor_method(cfg: PrefilteringConfig) -> PrefilteringConfig:
+    if cfg.neighbor_method != "auto":
+        return cfg
+    method = "dense" if jax.default_backend() in ("tpu", "axon") else "voxel"
+    return dataclasses.replace(cfg, neighbor_method=method)
+
+
 def _build_fn(cfg: PrefilteringConfig):
+    cfg = _resolve_neighbor_method(cfg)
     def run(cloud: MaskedCloud, base_T, lidar_height, ang_vel, use_deskew):
         if cfg.deskewing:
             skewed = deskew(cloud, ang_vel, cfg.scan_period)
@@ -116,6 +129,7 @@ def _build_fn(cfg: PrefilteringConfig):
             c2, cfg.normal_filter_thresh, cfg.normal_k,
             viewpoint=(0.0, 0.0, 0.0), keep_vertical_surfaces=True,
             chunk=cfg.chunk, method=cfg.neighbor_method,
+            radius=cfg.normal_radius,
         )
         c2 = compact(flatten_z(c2))
         return PrefilterOutput(c3, c2)

@@ -26,6 +26,7 @@ from .voxel import (
     voxel_lookup,
 )
 from .knn import nn_1, knn, radius_count
+from .moments import morton_keys, radius_moments, RadiusMoments
 from .voxel_knn import voxel_nn, voxel_knn, voxel_knn_covariances, voxel_radius_count
 from .pallas_nn import nn_1_auto, nn_1_pallas
 from .outliers import radius_outlier_removal, statistical_outlier_removal
@@ -38,6 +39,7 @@ __all__ = [
     "voxel_keys", "voxel_downsample", "occupied_voxel_centers",
     "VoxelHash", "build_voxel_hash", "voxel_lookup",
     "nn_1", "knn", "radius_count",
+    "morton_keys", "radius_moments", "RadiusMoments",
     "voxel_nn", "voxel_knn", "voxel_knn_covariances", "voxel_radius_count",
     "nn_1_auto", "nn_1_pallas",
     "radius_outlier_removal", "statistical_outlier_removal",

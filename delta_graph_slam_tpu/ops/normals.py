@@ -48,15 +48,30 @@ def smallest_eigvec_3x3(A):
 
 def estimate_normals(cloud: MaskedCloud, k: int = 10, viewpoint=(0.0, 0.0, 0.0),
                      *, chunk=1024, method="brute", voxel_resolution=0.75,
-                     voxel_window=16):
+                     voxel_window=16, radius=0.75):
     """Per-point unit normals from the k nearest neighbors (self included),
     oriented toward the viewpoint. Returns (normals (N,3), valid (N,)).
 
-    method='voxel' bounds the kNN candidates to a spatial hash (27 cells x
-    window points) — the fast path for big clouds on TPU; 'brute' is the
-    exact tiled search.
+    method='dense' (the TPU fast path) uses the exact radius-neighborhood
+    covariance from the masked-moments matmul pass instead of a kNN
+    neighborhood — pcl::NormalEstimation setRadiusSearch(radius) semantics
+    instead of the reference's setKSearch(k) (see DIVERGENCES.md); ``radius``
+    may be per-point for range-adaptive density. method='voxel' bounds the
+    kNN candidates to a spatial hash (27 cells x window points); 'brute' is
+    the exact tiled kNN search.
     """
     pts, mask = cloud.points, cloud.mask
+    if method == "dense":
+        from .moments import radius_moments
+
+        mom = radius_moments(cloud, cloud, radius,
+                             chunk=min(4096, cloud.capacity))
+        n = smallest_eigvec_3x3(mom.cov)
+        vp = jnp.asarray(viewpoint, pts.dtype)
+        flip = jnp.sum((vp - pts) * n, axis=-1) < 0.0
+        n = jnp.where(flip[:, None], -n, n)
+        valid = mask & (mom.count >= 3)
+        return n, valid
     if method == "voxel":
         import numpy as _np
 
@@ -99,6 +114,7 @@ def normal_filter(
     *,
     chunk=1024,
     method="brute",
+    radius=0.75,
 ) -> MaskedCloud:
     """Keep points by normal verticality.
 
@@ -106,7 +122,7 @@ def normal_filter(
     keep_vertical_surfaces=False: |n_z| >  thresh (floors; floor_detection:211-238)
     """
     n, valid = estimate_normals(cloud, k=k, viewpoint=viewpoint, chunk=chunk,
-                                method=method)
+                                method=method, radius=radius)
     nz = jnp.abs(n[:, 2])
     keep = (nz < thresh) if keep_vertical_surfaces else (nz > thresh)
     return MaskedCloud(cloud.points, cloud.mask & valid & keep)

@@ -41,10 +41,19 @@ def radius_outlier_removal(
     cloud: MaskedCloud, radius: float = 0.8, min_neighbors: int = 2, *,
     chunk=2048, method="brute", voxel_window=16,
 ) -> MaskedCloud:
-    """method='voxel' counts neighbors among windowed hash candidates
-    (cell size = radius, 27-neighborhood): exact unless a cell holds more
-    than ``voxel_window`` points, in which case it may undercount — for an
-    outlier filter (keep when count >= 2) that direction is harmless."""
+    """method='dense' (the TPU default) computes exact PCL RadiusSearch
+    counts through the masked-moments matmul pass (ops/moments.py) — no
+    gathers, no cell-capacity truncation. method='voxel' counts neighbors
+    among windowed hash candidates (cell size = radius, 27-neighborhood):
+    exact unless a cell holds more than ``voxel_window`` points, in which
+    case it may undercount — for an outlier filter (keep when count >= 2)
+    that direction is harmless."""
+    if method == "dense":
+        from .moments import radius_moments
+
+        mom = radius_moments(cloud, cloud, radius, chunk=min(4096, cloud.capacity))
+        keep = cloud.mask & ((mom.count - 1) >= min_neighbors)
+        return MaskedCloud(cloud.points, keep)
     if method == "voxel":
         import numpy as _np
 

@@ -12,6 +12,7 @@ line inliers, line_based_scanmatcher.cpp:299-334) with min-label
 propagation + pointer jumping: O(log N) rounds of tiled neighbor mins.
 """
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -190,6 +191,10 @@ class LineSegments(NamedTuple):
         return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
 
 
+@partial(jax.jit, static_argnames=(
+    "max_lines", "n_hypotheses", "dist_thresh", "min_cluster_size",
+    "max_cluster_size", "cluster_tolerance", "merror_threshold",
+    "length_threshold", "cluster_rounds", "chunk"))
 def ransac_line(
     cloud: MaskedCloud,
     key,

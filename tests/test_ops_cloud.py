@@ -323,3 +323,67 @@ class TestVoxelNeighborPaths:
         np.testing.assert_array_equal(
             np.asarray(out_b.mask), np.asarray(out_v.mask)
         )
+
+
+class TestDenseMomentsPath:
+    """ops/moments.py: exact radius statistics via the masked-moments matmul."""
+
+    def test_radius_moments_vs_kdtree(self):
+        cloud, pts = random_cloud(n=300, cap=384)
+        r = 2.5
+        mom = ops.radius_moments(cloud, cloud, r, chunk=128)
+        tree = cKDTree(pts)
+        for i in range(0, 300, 17):
+            nbrs = tree.query_ball_point(pts[i], r)
+            assert int(mom.count[i]) == len(nbrs)
+            sel = pts[nbrs]
+            np.testing.assert_allclose(
+                np.asarray(mom.mean[i]), sel.mean(axis=0), rtol=0, atol=1e-4
+            )
+            cov = np.cov(sel.T, bias=True) if len(nbrs) > 1 else np.zeros((3, 3))
+            np.testing.assert_allclose(
+                np.asarray(mom.cov[i]), cov, rtol=0, atol=1e-3
+            )
+
+    def test_dense_radius_removal_matches_brute(self):
+        base = RNG.uniform(-1, 1, (200, 3))
+        outliers = RNG.uniform(40, 50, (10, 3))
+        pts = np.concatenate([base, outliers])
+        cloud = ops.make_cloud(pts, capacity=256)
+        out_b = ops.radius_outlier_removal(cloud, 2.0, 2, method="brute")
+        out_d = ops.radius_outlier_removal(cloud, 2.0, 2, method="dense")
+        np.testing.assert_array_equal(
+            np.asarray(out_b.mask), np.asarray(out_d.mask)
+        )
+
+    def test_dense_normals_on_plane(self):
+        xy = RNG.uniform(-5, 5, (400, 2))
+        pts = np.concatenate([xy, np.zeros((400, 1))], axis=1)
+        cloud = ops.make_cloud(pts, capacity=512)
+        n, valid = ops.estimate_normals(cloud, viewpoint=(0, 0, 10.0),
+                                        method="dense", radius=1.5)
+        n = np.asarray(n)[:400][np.asarray(valid)[:400]]
+        assert n.shape[0] > 350
+        np.testing.assert_allclose(n[:, 2], 1.0, atol=1e-3)
+
+    def test_far_origin_precision(self):
+        # fp32 cancellation guard: same local geometry, cloud offset 2 km.
+        xy = RNG.uniform(-5, 5, (300, 2))
+        pts = np.concatenate([xy, np.zeros((300, 1))], axis=1)
+        far = pts + np.array([2000.0, -1500.0, 300.0])
+        cloud = ops.make_cloud(far.astype(np.float32), capacity=512)
+        n, valid = ops.estimate_normals(cloud, viewpoint=(2000, -1500, 310.0),
+                                        method="dense", radius=1.5)
+        n = np.asarray(n)[:300][np.asarray(valid)[:300]]
+        assert n.shape[0] > 250
+        assert np.mean(np.abs(n[:, 2]) > 0.99) > 0.97
+
+    def test_per_query_radius(self):
+        cloud, pts = random_cloud(n=200, cap=256)
+        r = np.full(256, 1.0, np.float32)
+        r[:100] = 3.0
+        mom = ops.radius_moments(cloud, cloud, jnp.asarray(r), chunk=128)
+        tree = cKDTree(pts)
+        for i in (0, 50, 120, 199):
+            want = len(tree.query_ball_point(pts[i], float(r[i])))
+            assert int(mom.count[i]) == want
