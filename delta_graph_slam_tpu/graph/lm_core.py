@@ -187,16 +187,24 @@ def dense_solve(sys: LinSys, b, free, lam):
     return x.reshape(N, D) * free
 
 
-def lm_optimize(linearize_fn, chi2_fn, apply_fn, state0, free, cfg: SolverConfig):
+def lm_optimize(linearize_fn, chi2_fn, apply_fn, state0, free, cfg: SolverConfig,
+                n_edges_total=None):
     """Generic robust LM loop.
 
     linearize_fn(state) -> (LinSys, chi2); chi2_fn(state) -> (chi2, n_active);
     apply_fn(state, dx (N,D)) -> state. ``free`` (N,D) float mask.
+
+    n_edges_total: edge count used for the g2o min_edges skip. The
+    reference checks the WHOLE graph's edge count before the level-masked
+    initializeOptimization (graph_slam.cpp:338-346), so a 2-edge level-2
+    de-overlap solve still runs when the full graph is big enough — pass
+    the unmasked count here. Defaults to the level-active count (the old,
+    stricter behavior) when None.
     """
     N = free.shape[0]
     dtype = free.dtype
     chi2_0, nact = chi2_fn(state0)
-    skip = nact < cfg.min_edges
+    skip = (nact if n_edges_total is None else n_edges_total) < cfg.min_edges
 
     sys0, _ = linearize_fn(state0)
     D0 = diag_blocks(sys0, N)

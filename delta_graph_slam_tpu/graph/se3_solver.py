@@ -243,7 +243,11 @@ def _make_optimize(cfg: SolverConfig):
             points = points + dx[V + P:, :3]
             return (poses, planes, points)
 
-        return lm_optimize(linearize_fn, chi2_fn, apply_fn, state0, free, cfg)
+        n_total = jnp.asarray(0, jnp.int32)
+        for _rest in _families(graph, state0, with_jac=False):
+            n_total = n_total + jnp.sum(_rest[6])
+        return lm_optimize(linearize_fn, chi2_fn, apply_fn, state0, free, cfg,
+                           n_edges_total=n_total)
 
     return opt
 

@@ -118,8 +118,11 @@ def _make_optimize(cfg: SolverConfig):
             out = poses + dx
             return out.at[:, 2].set(normalize_angle(out[:, 2]))
 
+        n_total = (jnp.sum(graph.edges.mask) + jnp.sum(graph.priors_xy.mask)
+                   + jnp.sum(graph.priors_yaw.mask))
         return lm_optimize(
-            linearize_fn, chi2_fn, apply_fn, graph.poses, free, cfg
+            linearize_fn, chi2_fn, apply_fn, graph.poses, free, cfg,
+            n_edges_total=n_total,
         )
 
     return opt

@@ -159,6 +159,49 @@ class TestHdlPipelineE2E:
         assert etypes.get("se3plane", 0) >= 1
         assert backend.floor_plane_node is not None
 
+    def test_imu_preset_gravity_and_orientation_edges(self, city):
+        """hdl_imu preset: per-keyframe closest-stamp IMU matching adds
+        EdgeSE3PriorQuat + EdgeSE3PriorVec gravity edges (upstream hdl
+        imu_callback semantics; SURVEY 2.14) and the graph still solves."""
+        world, frames = city
+        cfg = get_preset("hdl_imu")
+        pre = dataclasses.replace(
+            cfg.prefiltering, raw_capacity=32768, out_capacity=8192, chunk=1024
+        )
+        reg = dataclasses.replace(
+            cfg.odometry.registration, chunk=1024, maximum_iterations=30
+        )
+        odo = dataclasses.replace(cfg.odometry, registration=reg,
+                                  keyframe_delta_trans=1.0)
+        floor = dataclasses.replace(
+            cfg.floor, sensor_height=1.8, floor_pts_thresh=100,
+            capacity=8192, chunk=1024,
+        )
+        hdl = dataclasses.replace(cfg.hdl, registration=reg,
+                                  keyframe_delta_trans=1.0)
+        cfg = dataclasses.replace(cfg, prefiltering=pre, odometry=odo,
+                                  floor=floor, hdl=hdl)
+        pipe = Pipeline(cfg)
+        for fr in frames[:16]:
+            pipe.on_gps(fr.stamp, *fr.gps)
+            # level flight: identity orientation, gravity-only specific force
+            pipe.on_imu(fr.stamp, [1.0, 0.0, 0.0, 0.0],
+                        linear_acceleration=[0.0, 0.0, 9.81])
+            pipe.on_points(fr.stamp, fr.points, gt_pose=fr.gt_pose)
+        pipe.finish()
+        backend = pipe.backend
+        assert len(backend.keyframes) >= 3
+        etypes = {}
+        for e in backend.graph.edges:
+            etypes[e["type"]] = etypes.get(e["type"], 0) + 1
+        # one orientation + one gravity edge per IMU-matched keyframe
+        assert etypes.get("quat", 0) >= 3
+        assert etypes.get("vec", 0) >= 3
+        # identity-orientation priors on a flat run: solution stays finite
+        import numpy as _np
+
+        assert _np.all(_np.isfinite(_np.asarray(backend.poses2d)))
+
 
 def count_loop_edges(backend):
     """SE2 edges between non-consecutive keyframe nodes = loop closures."""
