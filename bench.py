@@ -156,40 +156,63 @@ def bench_registration(n_points=16384):
 
 
 def _build_bench_graph(n_nodes, rng_seed=7, dtype=np.float32):
+    """Realistic SLAM graph: two laps around a circle with noisy odometry,
+    vertices initialized by *integrating* that odometry (the only init a
+    real frontend has — the graph is consistent, all initial error lives
+    in the loop residuals), and genuine lap-to-lap loop closures (node k
+    revisits node k + n/2). The drift is observable, so post-solve ATE vs
+    ground truth is a meaningful quality metric. Returns (builder, gt)."""
     from delta_graph_slam_tpu.graph import SE2GraphBuilder
 
-    rng = np.random.default_rng(rng_seed)
-    b = SE2GraphBuilder(dtype=dtype)
-    gt = np.zeros((n_nodes, 3), np.float64)
-    for k in range(1, n_nodes):
-        gt[k] = gt[k - 1] + [np.cos(gt[k - 1, 2]), np.sin(gt[k - 1, 2]),
-                             rng.normal(0, 0.02)]
-    for k in range(n_nodes):
-        noisy = gt[k] + rng.normal(0, 0.1, 3) * (k > 0)
-        b.add_vertex(noisy, fixed=(k == 0))
-    info = np.diag([100.0, 100.0, 400.0]).astype(np.float64)
+    def wrap(a):
+        return (a + np.pi) % (2 * np.pi) - np.pi
+
+    def compose(a, m):
+        c, s = np.cos(a[2]), np.sin(a[2])
+        return np.array([a[0] + c * m[0] - s * m[1],
+                         a[1] + s * m[0] + c * m[1], wrap(a[2] + m[2])])
 
     def rel(a, bb):
         c, s = np.cos(a[2]), np.sin(a[2])
         dx, dy = bb[0] - a[0], bb[1] - a[1]
-        return np.array([c * dx + s * dy, -s * dx + c * dy, bb[2] - a[2]])
+        return np.array([c * dx + s * dy, -s * dx + c * dy,
+                         wrap(bb[2] - a[2])])
 
+    rng = np.random.default_rng(rng_seed)
+    lap = n_nodes // 2
+    dyaw = 2.0 * np.pi / lap
+    gt = np.zeros((n_nodes, 3), np.float64)
+    for k in range(1, n_nodes):
+        gt[k] = compose(gt[k - 1], [1.0, 0.0, dyaw])
+    meas = [rel(gt[k], gt[k + 1]) + rng.normal(0, [0.01, 0.01, 0.002])
+            for k in range(n_nodes - 1)]
+    init = np.zeros((n_nodes, 3), np.float64)
+    init[0] = gt[0]
+    for k in range(1, n_nodes):
+        init[k] = compose(init[k - 1], meas[k - 1])
+
+    b = SE2GraphBuilder(dtype=dtype)
+    info = np.diag([100.0, 100.0, 400.0]).astype(np.float64)
+    for k in range(n_nodes):
+        b.add_vertex(init[k], fixed=(k == 0))
     for k in range(n_nodes - 1):
-        b.add_se2_edge(k, k + 1, rel(gt[k], gt[k + 1]), info)
-    # loop closures every 100 nodes, measured with noise
-    for k in range(0, n_nodes - 200, 100):
-        m = rel(gt[k], gt[k + 150]) + rng.normal(0, 0.01, 3)
-        b.add_se2_edge(k, k + 150, m, info, kernel="Huber", delta=1.0)
+        b.add_se2_edge(k, k + 1, meas[k], info)
+    for k in range(0, lap - 1, 100):
+        m = rel(gt[k], gt[k + lap]) + rng.normal(0, 0.005, 3)
+        b.add_se2_edge(k, k + lap, m, info, kernel="Huber", delta=1.0)
     return b, gt
 
 
-def bench_pose_graph(n_nodes=4096, cg_max_iters=50, cg_rtol=1e-5):
+def bench_pose_graph(n_nodes=4096, backend="chain"):
     from delta_graph_slam_tpu.graph import SolverConfig, optimize_se2
 
     b, gt = _build_bench_graph(n_nodes)
     g = b.to_arrays()
-    cfg = SolverConfig(backend="cg", max_iterations=30,
-                       cg_max_iters=cg_max_iters, cg_rtol=cg_rtol)
+    # chain: direct block-cyclic-reduction + Woodbury solve (exact Newton
+    # steps; see graph/chain_solve.py). 128 off-chain slots cover the
+    # lap loop closures at both bench sizes (20 at 4k, 81 at 16k).
+    cfg = SolverConfig(backend=backend, max_iterations=30,
+                       chain_offrank_capacity=128)
     poses, stats = optimize_se2(g, level=0, config=cfg)  # warmup/compile
     jax.block_until_ready(poses)
 
@@ -314,12 +337,15 @@ def bench_pose_graph_cpu(n_nodes=4096, iters=10):
 
 def main():
     platform = jax.devices()[0].platform
+    # CPU baselines FIRST: measured 4x inflated when run after the TPU
+    # workloads in the same process (tunnel I/O threads steal the core)
+    cpu_lm_ms, cpu_ate = bench_pose_graph_cpu()
+    cpu_lm_ms_16k, _ = bench_pose_graph_cpu(n_nodes=16384, iters=3)
     e2e_sps, n_kf = bench_e2e()
     (odo_sps, n_swaps, err_t, aligned_single, aligned_best,
      conv_rate) = bench_registration()
     lm_ms, lm_iters, chi2_ratio, lm_ate = bench_pose_graph()
     lm_ms_16k, _, chi2_16k, _ = bench_pose_graph(n_nodes=16384)
-    cpu_lm_ms, cpu_ate = bench_pose_graph_cpu()
 
     # reference baseline: ~1 scan/sec effective (0.1x replay of 10 Hz KITTI)
     result = {
@@ -345,6 +371,8 @@ def main():
         "cpu_sparse_lm_ms_per_iter": round(cpu_lm_ms, 3),
         "cpu_sparse_lm_ate_m": round(cpu_ate, 4),
         "lm_speedup_vs_cpu": round(cpu_lm_ms / max(lm_ms, 1e-9), 2),
+        "cpu_sparse_lm_16k_ms_per_iter": round(cpu_lm_ms_16k, 3),
+        "lm_16k_speedup_vs_cpu": round(cpu_lm_ms_16k / max(lm_ms_16k, 1e-9), 2),
     }
     print(json.dumps(result))
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
-    backend: str = "cg"          # 'cg' | 'dense'
+    backend: str = "cg"          # 'cg' | 'chain' | 'dense'
     max_iterations: int = 100    # LM outer iterations (early-stopped)
     # truncated-Newton point: 50 iters / 1e-5 converges LM to the same
     # optimum as exact solves at ~2x the speed (TPU CG is latency-bound)
@@ -29,6 +29,17 @@ class SolverConfig:
     min_edges: int = 10          # g2o facade skips tiny graphs (graph_slam.cpp:340)
     chi2_rel_tol: float = 1e-10
     dx_tol: float = 1e-12
+    # 'chain' backend (graph/chain_solve.py): direct block-cyclic-reduction
+    # solve of the odometry chain + Woodbury correction for up to
+    # chain_offrank_capacity off-chain edges (loops). Off-chain overflow
+    # degrades gracefully: the refine steps turn the solve into a
+    # chain-preconditioned Richardson iteration on the full Hessian.
+    # refine 0: inside LM the ~1e-2 f32 step error is immaterial (the
+    # accept test re-evaluates chi2; measured identical convergence) —
+    # use refine_steps>=1 for standalone solves needing tight dx.
+    chain_offrank_capacity: int = 128
+    chain_base_blocks: int = 64
+    chain_refine_steps: int = 0
 
 
 class SolverStats(NamedTuple):
@@ -211,18 +222,30 @@ def lm_optimize(linearize_fn, chi2_fn, apply_fn, state0, free, cfg: SolverConfig
     maxdiag = jnp.max(jnp.abs(jnp.einsum("vaa->va", D0)) * free)
     lam0 = (cfg.lm_tau * jnp.maximum(maxdiag, 1e-12)).astype(dtype)
 
+    # The loop carries the linearization at the current state: each
+    # iteration runs exactly ONE linearize (at the trial point, whose
+    # robust chi2 falls out for free) instead of linearize(state) +
+    # a separate residual pass for chi2(trial).
     def lm_step(carry):
-        state, lam, nu, chi2, it, _ = carry
-        sys, _ = linearize_fn(state)
+        state, sys, lam, nu, chi2, it, _ = carry
         b = gradient(sys, N)
         if cfg.backend == "dense":
             dx = dense_solve(sys, -b, free, lam)
+        elif cfg.backend == "chain":
+            from .chain_solve import chain_solve
+
+            dx, _ = chain_solve(
+                sys, -b, free, lam, N,
+                K_cap=cfg.chain_offrank_capacity,
+                base_blocks=cfg.chain_base_blocks,
+                refine_steps=cfg.chain_refine_steps,
+            )
         else:
             Db = diag_blocks(sys, N)
             Minv = block_jacobi_inverse(Db, free, lam)
             dx = cg_solve(sys, -b, free, lam, Minv, cfg.cg_max_iters, cfg.cg_rtol)
         trial = apply_fn(state, dx)
-        chi2_t, _ = chi2_fn(trial)
+        sys_t, chi2_t = linearize_fn(trial)
         denom = jnp.sum(dx * (lam * dx - b))
         rho = (chi2 - chi2_t) / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
         finite = jax.tree_util.tree_reduce(
@@ -232,6 +255,9 @@ def lm_optimize(linearize_fn, chi2_fn, apply_fn, state0, free, cfg: SolverConfig
         state_n = jax.tree_util.tree_map(
             lambda t, s: jnp.where(accept, t, s), trial, state
         )
+        sys_n = jax.tree_util.tree_map(
+            lambda t, s: jnp.where(accept, t, s), sys_t, sys
+        )
         chi2_n = jnp.where(accept, chi2_t, chi2)
         lam_dec = lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
         lam_n = jnp.where(accept, lam_dec, lam * nu).astype(dtype)
@@ -240,17 +266,17 @@ def lm_optimize(linearize_fn, chi2_fn, apply_fn, state0, free, cfg: SolverConfig
             ((chi2 - chi2_n) <= cfg.chi2_rel_tol * jnp.maximum(chi2, 1e-30))
             | (jnp.sum(dx * dx) < cfg.dx_tol)
         )
-        return state_n, lam_n, nu_n, chi2_n, it + 1, converged
+        return state_n, sys_n, lam_n, nu_n, chi2_n, it + 1, converged
 
     def cond(carry):
-        _, lam, _, _, it, done = carry
+        _, _, lam, _, _, it, done = carry
         return (~done) & (it < cfg.max_iterations) & (lam < 1e12) & (~skip)
 
     init = (
-        state0, lam0, jnp.asarray(2.0, dtype), chi2_0,
+        state0, sys0, lam0, jnp.asarray(2.0, dtype), chi2_0,
         jnp.asarray(0, jnp.int32), jnp.asarray(False),
     )
-    state, lam, nu, chi2, iters, _ = jax.lax.while_loop(cond, lm_step, init)
+    state, _, lam, nu, chi2, iters, _ = jax.lax.while_loop(cond, lm_step, init)
     stats = SolverStats(
         chi2_initial=chi2_0,
         chi2_final=chi2,

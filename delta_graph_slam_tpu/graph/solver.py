@@ -27,16 +27,69 @@ from .se2_graph import (
     se2_prior_yaw_error,
 )
 
-_se2_jac = jax.vmap(jax.jacfwd(se2_edge_error, argnums=(0, 1)))
-_xy_jac = jax.vmap(jax.jacfwd(se2_prior_xy_error, argnums=0))
-_yaw_jac = jax.vmap(jax.jacfwd(se2_prior_yaw_error, argnums=0))
+def _se2_edge_err_jac(pi, pj, meas):
+    """Vectorized residual + analytic jacobians of se2_edge_error.
+
+    Closed form instead of vmapped jacfwd: the jacobian is a couple of
+    rotations, so the analytic version is ~3x fewer ops on the solver's
+    per-iteration hot path. e_xy = R(-th_m)(R(-th_i)(tj-ti) - t_m),
+    d e_xy/d th_i = R(-th_m) [ty, -tx], d/d t_i = -R(-th_m)R(-th_i).
+    """
+    dtype = pi.dtype
+    E = pi.shape[0]
+    ci, si = jnp.cos(pi[:, 2]), jnp.sin(pi[:, 2])
+    dx = pj[:, 0] - pi[:, 0]
+    dy = pj[:, 1] - pi[:, 1]
+    tx = ci * dx + si * dy
+    ty = -si * dx + ci * dy
+    cm, sm = jnp.cos(meas[:, 2]), jnp.sin(meas[:, 2])
+    ex = cm * (tx - meas[:, 0]) + sm * (ty - meas[:, 1])
+    ey = -sm * (tx - meas[:, 0]) + cm * (ty - meas[:, 1])
+    eth = normalize_angle(pj[:, 2] - pi[:, 2] - meas[:, 2])
+    err = jnp.stack([ex, ey, eth], axis=1)
+
+    # A = R(-th_m) R(-th_i)
+    a00 = cm * ci - sm * si
+    a01 = cm * si + sm * ci
+    a10 = -(sm * ci + cm * si)
+    a11 = -sm * si + cm * ci
+    # dth_i column: R(-th_m) @ [ty, -tx]
+    gx = cm * ty + sm * (-tx)
+    gy = -sm * ty + cm * (-tx)
+    z = jnp.zeros((E,), dtype)
+    one = jnp.ones((E,), dtype)
+    Ji = jnp.stack([
+        jnp.stack([-a00, -a01, gx], 1),
+        jnp.stack([-a10, -a11, gy], 1),
+        jnp.stack([z, z, -one], 1),
+    ], axis=1)
+    Jj = jnp.stack([
+        jnp.stack([a00, a01, z], 1),
+        jnp.stack([a10, a11, z], 1),
+        jnp.stack([z, z, one], 1),
+    ], axis=1)
+    return err, Ji, Jj
+
+
+def _xy_jac(pi, meas):
+    E = pi.shape[0]
+    J = jnp.zeros((E, 2, 3), pi.dtype)
+    return J.at[:, 0, 0].set(1.0).at[:, 1, 1].set(1.0)
+
+
+def _yaw_jac(pi, meas):
+    E = pi.shape[0]
+    return jnp.zeros((E, 1, 3), pi.dtype).at[:, 0, 2].set(1.0)
 
 
 def _edge_families(graph: SE2Graph, poses, level, with_jac):
     e = graph.edges
     pi, pj = poses[e.i], poses[e.j]
-    r = jax.vmap(se2_edge_error)(pi, pj, e.meas)
-    Ji, Jj = _se2_jac(pi, pj, e.meas) if with_jac else (None, None)
+    if with_jac:
+        r, Ji, Jj = _se2_edge_err_jac(pi, pj, e.meas)
+    else:
+        r = jax.vmap(se2_edge_error)(pi, pj, e.meas)
+        Ji, Jj = None, None
     act = e.mask & (e.level == level)
     yield e.i, e.j, r, Ji, Jj, e.info, act, e.kernel, e.delta, 3
 

@@ -107,7 +107,13 @@ class DeltaBackendConfig:
             l_max_score_translation=3.5,
         )
     )
-    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    # chain: direct BCR + Woodbury solve (graph/chain_solve.py) — the
+    # delta graph is a keyframe chain with few off-chain couplings
+    # (loops, interleaved-building odometry skips, de-overlap edges);
+    # measured both faster and far better-converged than truncated CG.
+    solver: SolverConfig = dataclasses.field(
+        default_factory=lambda: SolverConfig(backend="chain")
+    )
     inf: InformationMatrixCalculator = dataclasses.field(
         default_factory=lambda: InformationMatrixCalculator(
             b_var_gain_a=7.0, b_max_stddev_x=2.0,

@@ -300,3 +300,111 @@ class TestSE3Optimize:
         (poses, planes, _), stats = optimize_se3(g, level=0, config=CFG_CG)
         planes = np.asarray(planes)
         np.testing.assert_allclose(planes[pa], planes[pb], atol=1e-3)
+
+
+class TestChainBackend:
+    """Direct BCR + Woodbury solver (graph/chain_solve.py)."""
+
+    def test_bcr_matches_dense_tridiag(self):
+        from delta_graph_slam_tpu.graph.chain_solve import (
+            bcr_apply, bcr_factor,
+        )
+
+        rng = np.random.default_rng(3)
+        M, D, R = 64, 3, 2
+        A = np.zeros((M, D, D))
+        B = np.zeros((M, D, D))
+        for k in range(M):
+            Q = rng.normal(size=(D, D))
+            A[k] = Q @ Q.T + 5 * np.eye(D)
+        B[1:] = 0.5 * rng.normal(size=(M - 1, D, D))
+        g = rng.normal(size=(M, D, R))
+        T = np.zeros((M * D, M * D))
+        for k in range(M):
+            T[k*D:(k+1)*D, k*D:(k+1)*D] = A[k]
+        for k in range(1, M):
+            T[k*D:(k+1)*D, (k-1)*D:k*D] = B[k]
+            T[(k-1)*D:k*D, k*D:(k+1)*D] = B[k].T
+        want = np.linalg.solve(T, g.reshape(M * D, R))
+        factors = bcr_factor(
+            jnp.asarray(A, jnp.float32), jnp.asarray(B, jnp.float32),
+            base_blocks=8,
+        )
+        got = np.asarray(
+            bcr_apply(factors, jnp.asarray(g, jnp.float32))
+        ).reshape(M * D, R)
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-4 * np.abs(want).max())
+
+    def _lap_graph(self, n=220):
+        rng = np.random.default_rng(11)
+        b = SE2GraphBuilder()
+        lap = n // 2
+        gt = np.zeros((n, 3))
+        dyaw = 2 * np.pi / lap
+        for k in range(1, n):
+            c, s = np.cos(gt[k-1, 2]), np.sin(gt[k-1, 2])
+            gt[k] = [gt[k-1, 0] + c, gt[k-1, 1] + s, gt[k-1, 2] + dyaw]
+        info = np.diag([100.0, 100.0, 400.0])
+        est = np.zeros((n, 3))
+        for k in range(n):
+            b.add_vertex(gt[k] + (rng.normal(0, 0.05, 3) if k else 0),
+                         fixed=(k == 0))
+        for k in range(n - 1):
+            b.add_se2_edge(k, k + 1, relpose(gt[k], gt[k + 1]), info)
+        for k in range(0, lap - 1, 20):
+            b.add_se2_edge(k, k + lap, relpose(gt[k], gt[k + lap]),
+                           info, kernel="Huber", delta=1.0)
+        b.add_prior_xy(3, gt[3][:2], np.eye(2) * 10.0)
+        return b, gt
+
+    def test_chain_lm_matches_dense_backend(self):
+        b, gt = self._lap_graph()
+        g = b.to_arrays()
+        cfg_d = SolverConfig(backend="dense", max_iterations=40)
+        cfg_c = SolverConfig(backend="chain", max_iterations=40,
+                             chain_offrank_capacity=16, chain_base_blocks=8)
+        pd, sd = optimize_se2(g, level=0, config=cfg_d)
+        pc, sc = optimize_se2(g, level=0, config=cfg_c)
+        # same optimum quality (chi2), ~same solution
+        assert float(sc.chi2_final) <= 1.05 * float(sd.chi2_final) + 1e-3
+        n = len(b.poses)
+        np.testing.assert_allclose(
+            np.asarray(pc)[:n, :2], np.asarray(pd)[:n, :2], atol=0.05
+        )
+
+    def test_chain_offrank_overflow_flag(self):
+        from delta_graph_slam_tpu.graph.chain_solve import chain_solve
+        from delta_graph_slam_tpu.graph.solver import _linearize, _free_mask
+        from delta_graph_slam_tpu.graph.lm_core import gradient
+
+        b, gt = self._lap_graph()
+        g = b.to_arrays()
+        sysm, _ = _linearize(g, g.poses, 0)
+        free = _free_mask(g, 0)
+        N = g.poses.shape[0]
+        bvec = gradient(sysm, N)
+        _, nd = chain_solve(sysm, -bvec, free, jnp.asarray(1e-4, np.float32),
+                            N, K_cap=2, base_blocks=8)
+        assert int(nd) > 0  # 5 lap loops don't fit 2 slots
+
+    def test_chain_level_masking_and_fixed(self):
+        # level-2-style solve: big level-0 graph, tiny stiff level-2 edge
+        b = SE2GraphBuilder()
+        prev = b.add_vertex([0, 0, 0], fixed=True)
+        for k in range(1, 14):
+            v = b.add_vertex([float(k), 0, 0])
+            b.add_se2_edge(prev, v, [1.0, 0, 0], np.eye(3) * 100, level=0)
+            prev = v
+        va = b.add_vertex([0.0, 50.0, 0.0])
+        vb = b.add_vertex([12.2, 50.0, 0.0])
+        b.add_prior_xy(va, [0.0, 50.0], np.eye(2) * 0.001, level=1)
+        b.add_prior_xy(vb, [12.2, 50.0], np.eye(2) * 0.001, level=1)
+        b.add_se2_edge(va, vb, [15.01, 0.0, 0.0], np.eye(3) * 1e4, level=2)
+        g = b.to_arrays()
+        cfg = SolverConfig(backend="chain", max_iterations=30,
+                           chain_offrank_capacity=4, chain_base_blocks=8)
+        poses, stats = optimize_se2(g, level=2, config=cfg)
+        p = np.asarray(poses)
+        np.testing.assert_allclose(p[vb] - p[va], [15.01, 0, 0], atol=1e-2)
+        # level-0 vertices untouched by the level-2 solve
+        np.testing.assert_allclose(p[1], [1.0, 0, 0], atol=1e-5)
