@@ -76,6 +76,11 @@ def bench_e2e(n_frames=36, warmup_frames=10):
         pipe.on_gps(fr.stamp, *fr.gps)
         pipe.on_points(fr.stamp, fr.points, gt_pose=fr.gt_pose)
     drain(warmup_frames)   # timing starts from an idle scan worker
+    # compile the whole optimizer cycle (flush/info-matrix/loop/levels/
+    # de-overlap) before the clock starts; the solver capacities are
+    # preallocated so these programs are the ones the timed cycles reuse
+    pipe.backend.optimization_step()
+    pipe.backend.optimization_step()
 
     t0 = time.perf_counter()
     for fr in frames[warmup_frames:]:

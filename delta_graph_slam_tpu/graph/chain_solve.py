@@ -41,17 +41,17 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .lm_core import LinSys, matvec
+from .lm_core import LinSys, bmm, bmv, matvec
 
 
 def _edge_hessians(sys: LinSys):
     """Per-edge blocks Hii, Hjj, Hij (already robust-weighted; W=0 for
     inactive edges makes every downstream contribution vanish)."""
-    WJi = sys.W @ sys.Ji
-    WJj = sys.W @ sys.Jj
+    WJi = bmm(sys.W, sys.Ji)
+    WJj = bmm(sys.W, sys.Jj)
     JiT = jnp.swapaxes(sys.Ji, 1, 2)
     JjT = jnp.swapaxes(sys.Jj, 1, 2)
-    return JiT @ WJi, JjT @ WJj, JiT @ WJj
+    return bmm(JiT, WJi), bmm(JjT, WJj), bmm(JiT, WJj)
 
 
 def _classify(sys: LinSys, free_v):
@@ -137,15 +137,15 @@ def bcr_factor(A, B, base_blocks=64):
         B_o1 = jnp.concatenate([B[2::2], jnp.zeros_like(B[:1])])  # B[o+1]
         B_e = B[0::2]                                       # B[k], k=2t
         Ao_inv = _inv_blocks(Ao)
-        Ao_inv_Bo = Ao_inv @ B_o
-        Ao_inv_B1T = Ao_inv @ jnp.swapaxes(B_o1, 1, 2)
+        Ao_inv_Bo = bmm(Ao_inv, B_o)
+        Ao_inv_B1T = bmm(Ao_inv, jnp.swapaxes(B_o1, 1, 2))
         levels.append((Ao_inv, B_o, B_o1, B_e, Ao_inv_Bo, Ao_inv_B1T))
 
         BoT = jnp.swapaxes(B_o, 1, 2)
         A = (A[0::2]
-             - BoT @ Ao_inv_Bo                              # right odd nbr
-             - B_e @ jnp.roll(Ao_inv_B1T, 1, axis=0))       # left odd nbr
-        B = -(B_e @ jnp.roll(Ao_inv_Bo, 1, axis=0))
+             - bmm(BoT, Ao_inv_Bo)                          # right odd nbr
+             - bmm(B_e, jnp.roll(Ao_inv_B1T, 1, axis=0)))   # left odd nbr
+        B = -bmm(B_e, jnp.roll(Ao_inv_Bo, 1, axis=0))
         B = B.at[0].set(0.0)
 
     # dense base inverse
@@ -171,11 +171,11 @@ def bcr_apply(factors, g):
     saved = []
     for Ao_inv, B_o, B_o1, B_e, _, _ in levels:
         go = g[1::2]
-        t1 = Ao_inv @ go
+        t1 = bmm(Ao_inv, go)
         saved.append(t1)
         g = (g[0::2]
-             - jnp.swapaxes(B_o, 1, 2) @ t1
-             - B_e @ jnp.roll(t1, 1, axis=0))
+             - bmm(jnp.swapaxes(B_o, 1, 2), t1)
+             - bmm(B_e, jnp.roll(t1, 1, axis=0)))
 
     Mb, D, R = g.shape
     x = (base_inv @ g.reshape(Mb * D, R)).reshape(Mb, D, R)
@@ -185,7 +185,7 @@ def bcr_apply(factors, g):
     ):
         x_even = x
         x_right = jnp.concatenate([x_even[1:], jnp.zeros_like(x_even[:1])])
-        x_odd = t1 - Ao_inv_Bo @ x_even - Ao_inv_B1T @ x_right
+        x_odd = t1 - bmm(Ao_inv_Bo, x_even) - bmm(Ao_inv_B1T, x_right)
         M2 = x_even.shape[0] * 2
         x = jnp.zeros((M2,) + x_even.shape[1:], dtype)
         x = x.at[0::2].set(x_even).at[1::2].set(x_odd)
@@ -252,25 +252,24 @@ def _chain_solve_impl(sys, b, free, lam, N, K_cap, base_blocks,
         # V = T^-1 C^T and the capacitance matrix (RHS-independent)
         eyeK = jnp.eye(K * D, dtype=dtype).reshape(K, D, K * D)
         Ct = jax.ops.segment_sum(
-            jnp.swapaxes(Ji, 1, 2) @ eyeK, ei, num_segments=N
+            bmm(jnp.swapaxes(Ji, 1, 2), eyeK), ei, num_segments=N
         )
         Ct = Ct + jax.ops.segment_sum(
-            jnp.swapaxes(Jj, 1, 2) @ eyeK, ej, num_segments=N
+            bmm(jnp.swapaxes(Jj, 1, 2), eyeK), ej, num_segments=N
         )
         Ct = Ct * free[:, :, None]
         Ct = jnp.concatenate([Ct, jnp.zeros((P - N, D, K * D), dtype)])
         V = bcr_apply(factors, Ct)[:N]                        # (N,D,K*D)
-        CV = Ji @ V[ei] + Jj @ V[ej]
-        Mcap = jnp.eye(K * D, dtype=dtype) + (W @ CV).reshape(K * D, K * D)
+        CV = bmm(Ji, V[ei]) + bmm(Jj, V[ej])
+        Mcap = jnp.eye(K * D, dtype=dtype) + bmm(W, CV).reshape(K * D, K * D)
         Mcap_inv = jnp.linalg.inv(Mcap)
 
         def solve_once(rhs):
             rf = (rhs * free)[:, :, None]
             rf = jnp.concatenate([rf, jnp.zeros((P - N, D, 1), dtype)])
             u = bcr_apply(factors, rf)[:N, :, 0]
-            Cu = (Ji @ u[ei][..., None])[..., 0]
-            Cu = Cu + (Jj @ u[ej][..., None])[..., 0]
-            WCu = (W @ Cu[..., None])[..., 0].reshape(K * D)
+            Cu = bmv(Ji, u[ei]) + bmv(Jj, u[ej])
+            WCu = bmv(W, Cu).reshape(K * D)
             return (u - V @ (Mcap_inv @ WCu)) * free
 
     x = solve_once(b)

@@ -38,7 +38,7 @@ class SolverConfig:
     # accept test re-evaluates chi2; measured identical convergence) —
     # use refine_steps>=1 for standalone solves needing tight dx.
     chain_offrank_capacity: int = 128
-    chain_base_blocks: int = 64
+    chain_base_blocks: int = 16
     chain_refine_steps: int = 0
 
 
@@ -48,6 +48,22 @@ class SolverStats(NamedTuple):
     iterations: jnp.ndarray
     lambda_final: jnp.ndarray
     num_active_edges: jnp.ndarray
+
+
+def bmm(a, b):
+    """Batched small-matrix product as broadcast multiply + sum.
+
+    (...,m,k) @ (...,k,n) -> (...,m,n). For the tiny (E,3,3)-class blocks
+    of a pose graph, lowering to the MXU is all padding and pass count
+    (HIGHEST f32 = 6 bf16 passes = 6 kernels per product); the broadcast
+    form fuses to one full-f32 VPU kernel instead.
+    """
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
+def bmv(a, v):
+    """Batched matrix-vector: (...,m,k) @ (...,k) -> (...,m)."""
+    return jnp.sum(a * v[..., None, :], axis=-1)
 
 
 class LinSys(NamedTuple):
@@ -88,19 +104,19 @@ def concat_sys(parts):
 
 def gradient(sys: LinSys, N):
     """b = sum J^T W r, scattered per vertex. Returns (N,D)."""
-    Wr = (sys.W @ sys.r[..., None])[..., 0]
-    bi = (jnp.swapaxes(sys.Ji, 1, 2) @ Wr[..., None])[..., 0]
-    bj = (jnp.swapaxes(sys.Jj, 1, 2) @ Wr[..., None])[..., 0]
+    Wr = bmv(sys.W, sys.r)
+    bi = bmv(jnp.swapaxes(sys.Ji, 1, 2), Wr)
+    bj = bmv(jnp.swapaxes(sys.Jj, 1, 2), Wr)
     b = jax.ops.segment_sum(bi, sys.i, num_segments=N)
     return b + jax.ops.segment_sum(bj, sys.j, num_segments=N)
 
 
 def diag_blocks(sys: LinSys, N):
     """Block-diagonal of H. Returns (N,D,D)."""
-    WJi = sys.W @ sys.Ji
-    WJj = sys.W @ sys.Jj
-    Dii = jnp.swapaxes(sys.Ji, 1, 2) @ WJi
-    Djj = jnp.swapaxes(sys.Jj, 1, 2) @ WJj
+    WJi = bmm(sys.W, sys.Ji)
+    WJj = bmm(sys.W, sys.Jj)
+    Dii = bmm(jnp.swapaxes(sys.Ji, 1, 2), WJi)
+    Djj = bmm(jnp.swapaxes(sys.Jj, 1, 2), WJj)
     Db = jax.ops.segment_sum(Dii, sys.i, num_segments=N)
     return Db + jax.ops.segment_sum(Djj, sys.j, num_segments=N)
 
@@ -108,11 +124,11 @@ def diag_blocks(sys: LinSys, N):
 def matvec(sys: LinSys, x, free, lam):
     """(H + lam I) x with per-dim free-mask projection. x, free: (N,D)."""
     xf = x * free
-    yi = (sys.Ji @ xf[sys.i][..., None])[..., 0]
-    yj = (sys.Jj @ xf[sys.j][..., None])[..., 0]
-    Wy = (sys.W @ (yi + yj)[..., None])[..., 0]
-    zi = (jnp.swapaxes(sys.Ji, 1, 2) @ Wy[..., None])[..., 0]
-    zj = (jnp.swapaxes(sys.Jj, 1, 2) @ Wy[..., None])[..., 0]
+    yi = bmv(sys.Ji, xf[sys.i])
+    yj = bmv(sys.Jj, xf[sys.j])
+    Wy = bmv(sys.W, yi + yj)
+    zi = bmv(jnp.swapaxes(sys.Ji, 1, 2), Wy)
+    zj = bmv(jnp.swapaxes(sys.Jj, 1, 2), Wy)
     z = jax.ops.segment_sum(zi, sys.i, num_segments=x.shape[0])
     z = z + jax.ops.segment_sum(zj, sys.j, num_segments=x.shape[0])
     return (z + lam * xf) * free

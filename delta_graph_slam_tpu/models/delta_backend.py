@@ -58,6 +58,12 @@ class DeltaBackendConfig:
     fix_first_node: bool = True
     g2o_solver_num_iterations: int = 512
     graph_update_interval: float = 3.0
+    # preallocated solver capacities (static XLA shapes): every pow2
+    # capacity growth recompiles the LM program (~20-60 s through the
+    # remote compile helper), so start at the expected session scale.
+    # The graph still grows past these; 0 = pure auto (pow2 of live size).
+    solver_v_capacity: int = 512
+    solver_e_capacity: int = 2048
     # gps
     enable_gps_priors: bool = False
     gps_edge_stddev_xy: float = 1500.0
@@ -482,7 +488,13 @@ class DeltaBackend:
 
     # --------------------------------------------------------- optimization
     def _optimize(self, level):
-        g = self.graph.to_arrays()
+        vc = self.cfg.solver_v_capacity or None
+        if vc:
+            while vc < len(self.graph.poses):
+                vc *= 2
+        g = self.graph.to_arrays(
+            v_capacity=vc, e_capacity=self.cfg.solver_e_capacity or None
+        )
         cfg = dataclasses.replace(
             self.cfg.solver,
             max_iterations=min(self.cfg.solver.max_iterations,

@@ -52,6 +52,7 @@ def small_delta_cfg():
         cfg.delta, registration=reg, scanmatcher=sm,
         keyframe_delta_trans=1.0, keyframe_delta_angle=1.0,
         graph_update_interval=2.0, compute_ate_rpe=True,
+        solver_v_capacity=64, solver_e_capacity=256,
     )
     return dataclasses.replace(cfg, prefiltering=pre, odometry=odo, delta=delta)
 
