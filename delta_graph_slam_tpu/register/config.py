@@ -36,6 +36,13 @@ class RegistrationConfig:
                                           # gathers scale with cells*window
     cov_voxel_window: int = 8             # candidates per cell for kNN covs
     cov_voxel_cells: int = 7
+    # GICP covariance neighborhoods: 'knn' is fast_gicp's k-NN (k =
+    # correspondence_randomness); 'dense' computes the exact
+    # radius-neighborhood covariance via the masked-moments matmul pass
+    # (ops/moments.py — no gathers, rides the MXU; DIVERGENCES.md #12).
+    # 'auto' resolves dense on TPU, knn elsewhere.
+    cov_method: str = "auto"
+    cov_dense_radius: float = 1.0
 
     @property
     def head(self) -> str:

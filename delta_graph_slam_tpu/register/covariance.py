@@ -102,3 +102,21 @@ def knn_covariances(points, mask, k=20, *, mode="plane", chunk=1024):
     cov = regularize_covariances(cov, mode=mode)
     valid = mask & (jnp.sum(nb_valid, axis=1) >= 3)
     return cov, valid
+
+
+def dense_covariances(points, mask, radius=1.0, *, mode="plane", chunk=4096):
+    """Per-point covariances from the EXACT radius neighborhood, through
+    the masked-moments matmul pass (ops/moments.py) — no gathers, so this
+    is the TPU fast path for GICP covariance models. Neighborhood choice
+    (radius vs fast_gicp's kNN) is DIVERGENCES.md #12; after 'plane'
+    regularization only the local surface orientation survives, which
+    agrees wherever the two neighborhoods see the same surface.
+    Returns (covs (N,3,3), valid (N,))."""
+    from ..ops.cloud import MaskedCloud
+    from ..ops.moments import radius_moments
+
+    cloud = MaskedCloud(points, mask)
+    mom = radius_moments(cloud, cloud, radius,
+                         chunk=min(chunk, points.shape[0]))
+    cov = regularize_covariances(mom.cov, mode=mode)
+    return cov, mask & (mom.count >= 3)

@@ -22,6 +22,7 @@ Heads:
           with the same stationary points for well-conditioned voxels)
 """
 
+import dataclasses
 from typing import NamedTuple, Optional
 
 import jax
@@ -33,7 +34,9 @@ from ..ops.knn import nn_1
 from ..ops.voxel import VoxelHash, build_voxel_hash, voxel_lookup
 from ..ops.voxel_knn import voxel_nn, voxel_knn_covariances
 from .config import RegistrationConfig
-from .covariance import knn_covariances, regularize_covariances
+from .covariance import (
+    dense_covariances, knn_covariances, regularize_covariances,
+)
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -256,6 +259,10 @@ class Registration:
     """
 
     def __init__(self, cfg: RegistrationConfig, capacity_voxels: int = 8192):
+        if cfg.cov_method == "auto":
+            method = ("dense" if jax.default_backend() in ("tpu", "axon")
+                      else "knn")
+            cfg = dataclasses.replace(cfg, cov_method=method)
         self.cfg = cfg
         self.capacity_voxels = capacity_voxels
         self._align = jax.jit(_make_align_fn(cfg))
@@ -289,11 +296,17 @@ class Registration:
                 dense_index=True, with_stats=False,
             )
             if head == "gicp":
-                covs, _ = voxel_knn_covariances(
-                    vh, k=cfg.correspondence_randomness,
-                    offsets=_neighbor_offsets(cfg.cov_voxel_cells),
-                    window=cfg.cov_voxel_window, mode="plane",
-                )
+                if cfg.cov_method == "dense":
+                    covs, _ = dense_covariances(
+                        vh.sorted_points, vh.sorted_valid,
+                        radius=cfg.cov_dense_radius, mode="plane",
+                    )
+                else:
+                    covs, _ = voxel_knn_covariances(
+                        vh, k=cfg.correspondence_randomness,
+                        offsets=_neighbor_offsets(cfg.cov_voxel_cells),
+                        window=cfg.cov_voxel_window, mode="plane",
+                    )
             return TargetModel(
                 vh.sorted_points, vh.sorted_valid, covs, vh, None, None
             )
@@ -324,6 +337,13 @@ class Registration:
         cfg = self.cfg
         covs = None
         if cfg.head in ("gicp", "vgicp"):
+            if cfg.cov_method == "dense":
+                # exact radius covariances, no hash needed for the source
+                covs, _ = dense_covariances(
+                    cloud.points, cloud.mask,
+                    radius=cfg.cov_dense_radius, mode="plane",
+                )
+                return SourceModel(cloud.points, cloud.mask, covs)
             if cfg.nn_method == "voxel":
                 # source order is irrelevant to the cost: adopt the hash's
                 # sorted order so covariances align with the points

@@ -101,3 +101,30 @@ class TestAlign:
         tol = 0.02 if method in ("ICP", "FAST_GICP") else 0.15
         assert np.linalg.norm(T[:3, 3]) < tol
         assert np.linalg.norm(T[:3, :3] - np.eye(3)) < 0.03
+
+
+def test_dense_covariance_parity():
+    """GICP with dense radius covariances (the TPU default, DIVERGENCES
+    #12) recovers the same transform as the kNN covariance model."""
+    target_pts = make_structured_scene()
+    source_pts, _ = transform_pts(target_pts, -TRUE_XI)
+    T_want = np.asarray(geom.se3_exp(jnp.asarray(TRUE_XI)))
+    results = {}
+    for cov_method in ("knn", "dense"):
+        cfg = RegistrationConfig(
+            method="FAST_GICP", maximum_iterations=50,
+            max_correspondence_distance=2.5, correspondence_randomness=15,
+            chunk=512, transformation_epsilon=1e-4,
+            cov_method=cov_method, cov_dense_radius=1.0,
+        )
+        reg = make_registration(cfg)
+        reg.capacity_voxels = 2048
+        src = ops.make_cloud(source_pts.astype(np.float32), capacity=1280)
+        tgt = ops.make_cloud(target_pts.astype(np.float32), capacity=1280)
+        res = reg.align_pair(src, tgt)
+        results[cov_method] = np.asarray(res.transformation)
+        err_t = np.linalg.norm(results[cov_method][:3, 3] - T_want[:3, 3])
+        assert err_t < 0.05, f"cov_method={cov_method}: err {err_t}"
+    np.testing.assert_allclose(
+        results["dense"][:3, 3], results["knn"][:3, 3], atol=0.03
+    )
