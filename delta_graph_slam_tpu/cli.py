@@ -87,6 +87,13 @@ def _cmd_run(args):
     if args.dump_graph and hasattr(pipe.backend, "dump_graph"):
         pipe.backend.dump_graph(args.dump_graph)
         print(f"dump_graph -> {args.dump_graph}")
+    if args.save_viz and hasattr(pipe.backend, "create_marker_array"):
+        from .utils.markers import save_viz
+
+        mc = pipe.generate_map() if hasattr(pipe, "generate_map") else None
+        png = save_viz(pipe.backend.create_marker_array(), args.save_viz,
+                       map_cloud=mc)
+        print(f"save_viz -> {args.save_viz} (png={bool(png)})")
     return 0
 
 
@@ -170,6 +177,8 @@ def main(argv=None):
     r.add_argument("--resolution", type=float, default=0.05)
     r.add_argument("--eval", action="store_true", help="print ATE/RPE")
     r.add_argument("--dump-graph", help="write g2o text + npz checkpoint")
+    r.add_argument("--save-viz",
+                   help="write markers.{json,svg,png} (rviz stand-in)")
     r.set_defaults(fn=_cmd_run)
 
     c = sub.add_parser("convert-kitti", help="KITTI raw -> bag npz")

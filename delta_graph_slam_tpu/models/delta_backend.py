@@ -839,6 +839,8 @@ class DeltaBackend:
             "keyframe_nodes": kf_nodes,
             "building_nodes": b_nodes,
             "edges": edges,
+            "node_xy": (np.asarray([p[:2] for p in self.graph.poses])
+                        if self.graph.poses else np.zeros((0, 2))),
             "loop_close_radius": self.loop_detector.distance_thresh,
             "gps": gps,
             "gt_pose": gt,

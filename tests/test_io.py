@@ -273,3 +273,34 @@ class TestBuildings:
         center = np.array([2.0, 2.0])
         np.testing.assert_allclose(T[:2, :2] @ center + T[:2, 2], center,
                                    atol=1e-9)
+
+
+class TestVizRender:
+    def test_svg_and_json_roundtrip(self, tmp_path):
+        import json
+
+        import numpy as np
+
+        from delta_graph_slam_tpu.utils.markers import save_viz
+
+        markers = {
+            "keyframe_nodes": np.array([[0.0, 0.0], [1.0, 0.5], [2.0, 1.5]]),
+            "building_nodes": np.array([[3.0, 3.0]]),
+            "edges": [(0, 1, 0), (1, 2, 0), (0, 3, 1)],
+            "node_xy": np.array([[0.0, 0.0], [1.0, 0.5], [2.0, 1.5],
+                                 [3.0, 3.0]]),
+            "loop_close_radius": 15.0,
+            "gps": np.array([[0.1, 0.1]]),
+            "gt_pose": np.array([[0.0, 0.0], [1.0, 0.6], [2.1, 1.4]]),
+        }
+        mc = np.random.default_rng(0).uniform(-1, 4, (500, 3))
+        save_viz(markers, tmp_path, map_cloud=mc)
+        svg = (tmp_path / "markers.svg").read_text()
+        assert svg.startswith("<svg") and svg.rstrip().endswith("</svg>")
+        assert svg.count("<line") == 3       # one per graph edge
+        assert svg.count("<rect") >= 2       # background + building
+        assert "<polyline" in svg            # trajectory + gt
+        data = json.loads((tmp_path / "markers.json").read_text())
+        assert data["loop_close_radius"] == 15.0
+        assert len(data["keyframe_nodes"]) == 3
+        assert (tmp_path / "markers.png").exists()  # matplotlib available
