@@ -208,21 +208,21 @@ def _build_bench_graph(n_nodes, rng_seed=7, dtype=np.float32):
     return b, gt
 
 
-def bench_pose_graph(n_nodes=4096, backend="chain"):
+def bench_pose_graph(n_nodes=4096, backend="chain", max_iters=30):
+    """TPU LM on the bench graph. The off-chain capacity is bucketed from
+    the host-known loop count (off_hint), mirroring the delta backend.
+    Returns (ms_per_iter, iters, final_chi2, ate)."""
     from delta_graph_slam_tpu.graph import SolverConfig, optimize_se2
 
     b, gt = _build_bench_graph(n_nodes)
     g = b.to_arrays()
-    # chain: direct block-cyclic-reduction + Woodbury solve (exact Newton
-    # steps; see graph/chain_solve.py). 128 off-chain slots cover the
-    # lap loop closures at both bench sizes (20 at 4k, 81 at 16k).
-    cfg = SolverConfig(backend=backend, max_iterations=30,
-                       chain_offrank_capacity=128)
-    poses, stats = optimize_se2(g, level=0, config=cfg)  # warmup/compile
+    cfg = SolverConfig(backend=backend, max_iterations=max_iters)
+    hint = b.count_offchain(0)
+    poses, stats = optimize_se2(g, level=0, config=cfg, off_hint=hint)
     jax.block_until_ready(poses)
 
     t0 = time.perf_counter()
-    poses, stats = optimize_se2(g, level=0, config=cfg)
+    poses, stats = optimize_se2(g, level=0, config=cfg, off_hint=hint)
     poses_np = np.asarray(poses)
     dt = time.perf_counter() - t0
     iters = max(int(stats.iterations), 1)
@@ -230,134 +230,236 @@ def bench_pose_graph(n_nodes=4096, backend="chain"):
     ate = float(np.mean(np.linalg.norm(
         poses_np[:n_nodes, :2] - gt[:, :2], axis=1
     )))
-    return (dt * 1000.0 / iters, iters,
-            float(stats.chi2_final / max(float(stats.chi2_initial), 1e-9)),
-            ate)
+    return dt * 1000.0 / iters, iters, float(stats.chi2_final), ate
 
 
-def bench_pose_graph_cpu(n_nodes=4096, iters=10):
-    """Measured CPU baseline: sparse Gauss-Newton/LM with a scipy
-    SuperLU solve on the identical graph — the honest stand-in for the
-    reference's g2o lm_var_cholmod (launch/delta_graph_slam.launch:81).
-    Host numpy/scipy only (no jax, no device)."""
-    import scipy.sparse as sp
-    import scipy.sparse.linalg as spl
+def bench_pose_graph_incremental(n_nodes=16384, chunk=64, backend="chain"):
+    """The reference's actual solver regime: the graph grows and is
+    re-optimized every cycle warm-started from the previous solution
+    (3 s wall-timer, apps/delta_graph_slam_nodelet.cpp:793-927). Grows
+    the two-lap graph ``chunk`` keyframes per cycle at fixed capacity
+    (one compile) and re-optimizes with a per-cycle LM budget.
 
-    b, gt = _build_bench_graph(n_nodes)
-    V = len(b.poses)
-    x = np.asarray(b.poses, np.float64).copy()
+    Returns (ms_per_cycle, n_cycles, final_chi2, ate)."""
+    from delta_graph_slam_tpu.graph import SolverConfig, optimize_se2
+    from delta_graph_slam_tpu.graph.se2_graph import SE2Graph
+
+    full, gt = _build_bench_graph(n_nodes)
+    g_full = full.to_arrays()
+    jax.block_until_ready(g_full.poses)
+    vm_host = np.zeros(g_full.poses.shape[0], bool)
+    cfg = SolverConfig(backend=backend, max_iterations=8)
+    hint = full.count_offchain(0)
+
+    edges_i = np.asarray(g_full.edges.i)
+    edges_j = np.asarray(g_full.edges.j)
+    edge_hi = np.maximum(edges_i, edges_j) * np.asarray(g_full.edges.mask)
+
+    def sub(nv, poses_dev):
+        # active prefix: vertices < nv, edges fully inside the prefix.
+        # Same capacities every cycle -> one compiled program.
+        vm = jnp.asarray(vm_host | (np.arange(len(vm_host)) < nv))
+        emask = jnp.asarray((edge_hi < nv) & np.asarray(g_full.edges.mask))
+        return SE2Graph(
+            poses_dev, g_full.fixed, vm,
+            g_full.edges._replace(mask=emask),
+            g_full.priors_xy, g_full.priors_yaw,
+        )
+
+    # warm-up compile with the first chunk
+    poses = g_full.poses
+    p0, _ = optimize_se2(sub(chunk, poses), level=0, config=cfg,
+                         off_hint=hint)
+    jax.block_until_ready(p0)
+
+    poses = g_full.poses
+    cold_chi2 = None
+    n_cycles = 0
+    t0 = time.perf_counter()
+    for nv in range(chunk, n_nodes + 1, chunk):
+        # warm start: poses carries the previous cycle's solution; newly
+        # activated vertices enter at their odometry-integrated init
+        # (exactly what flush_keyframe_queue does)
+        p, stats = optimize_se2(sub(nv, poses), level=0, config=cfg,
+                                off_hint=hint)
+        poses = p
+        if cold_chi2 is None:
+            cold_chi2 = float(stats.chi2_initial)
+        n_cycles += 1
+    poses_np = np.asarray(poses)
+    dt = time.perf_counter() - t0
+    final_chi2 = float(stats.chi2_final)
+    ate = float(np.mean(np.linalg.norm(
+        poses_np[:n_nodes, :2] - gt[:, :2], axis=1
+    )))
+    return dt * 1000.0 / n_cycles, n_cycles, final_chi2, ate
+
+
+def _cpu_graph_arrays(b):
     ei = np.asarray([e["i"] for e in b.edges if e["type"] == "se2"])
     ej = np.asarray([e["j"] for e in b.edges if e["type"] == "se2"])
     meas = np.asarray([e["meas"] for e in b.edges if e["type"] == "se2"],
                       np.float64)
     infos = np.asarray([e["info"] for e in b.edges if e["type"] == "se2"],
                        np.float64)
-    E = len(ei)
+    # kernel_id("Huber") == 1; g2o robustifies only flagged edges
+    huber = np.asarray([e["kernel"] == 1 for e in b.edges
+                        if e["type"] == "se2"])
+    delta = np.asarray([e["delta"] for e in b.edges if e["type"] == "se2"],
+                       np.float64)
+    return ei, ej, meas, infos, huber, delta
 
-    def wrap(a):
-        return (a + np.pi) % (2 * np.pi) - np.pi
+
+def _cpu_wrap(a):
+    return (a + np.pi) % (2 * np.pi) - np.pi
+
+
+def _cpu_linearize(x, ei, ej, meas):
+    """Residual + analytic SE2 jacobians, f64 numpy (E,3[,3])."""
+    E = len(ei)
+    xi, xj = x[ei], x[ej]
+    ci, si = np.cos(xi[:, 2]), np.sin(xi[:, 2])
+    cm, sm = np.cos(meas[:, 2]), np.sin(meas[:, 2])
+    dx = xj[:, 0] - xi[:, 0]
+    dy = xj[:, 1] - xi[:, 1]
+    lx = ci * dx + si * dy
+    ly = -si * dx + ci * dy
+    ex = cm * (lx - meas[:, 0]) + sm * (ly - meas[:, 1])
+    ey = -sm * (lx - meas[:, 0]) + cm * (ly - meas[:, 1])
+    et = _cpu_wrap(xj[:, 2] - xi[:, 2] - meas[:, 2])
+    r = np.stack([ex, ey, et], 1)
+
+    A = np.empty((E, 2, 2))
+    A[:, 0, 0] = cm * ci - sm * si
+    A[:, 0, 1] = cm * si + sm * ci
+    A[:, 1, 0] = -sm * ci - cm * si
+    A[:, 1, 1] = -sm * si + cm * ci
+    dlx = -si * dx + ci * dy
+    dly = -ci * dx - si * dy
+    Ji = np.zeros((E, 3, 3))
+    Ji[:, :2, :2] = -A
+    Ji[:, 0, 2] = cm * dlx + sm * dly
+    Ji[:, 1, 2] = -sm * dlx + cm * dly
+    Ji[:, 2, 2] = -1.0
+    Jj = np.zeros((E, 3, 3))
+    Jj[:, :2, :2] = A
+    Jj[:, 2, 2] = 1.0
+    return r, Ji, Jj
+
+
+def _cpu_robust(r, infos, huber, delta):
+    """g2o Huber: chi2 rho(e2) and IRLS weight rho'(e2) per edge."""
+    e2 = np.einsum("ea,eab,eb->e", r, infos, r)
+    d2 = delta * delta
+    out = huber & (e2 > d2)
+    sq = np.sqrt(np.maximum(e2, 1e-30))
+    rho = np.where(out, 2.0 * delta * sq - d2, e2)
+    w = np.where(out, delta / sq, 1.0)
+    return rho.sum(), w
+
+
+def bench_pose_graph_cpu(n_nodes=4096, max_iters=30):
+    """Measured CPU baseline: sparse robust Levenberg-Marquardt with a
+    scipy SuperLU solve on the identical graph AND the identical
+    objective as the TPU solve — Huber-weighted loop closures, g2o's
+    gain-ratio lambda schedule with chi2 accept/reject (the honest
+    stand-in for g2o lm_var_cholmod + RobustKernelHuber,
+    launch/delta_graph_slam.launch:81, robust_kernel_io.cpp:15-41).
+    f64 numpy/scipy only (no jax, no device). Per iteration it does the
+    same work as the TPU loop: one linearize, one sparse solve, one
+    trial chi2 (whose linearization is carried when accepted).
+    Returns (ms_per_iter, iters_used, final_chi2, ate)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spl
+
+    b, gt = _build_bench_graph(n_nodes)
+    V = len(b.poses)
+    x = np.asarray(b.poses, np.float64).copy()
+    ei, ej, meas, infos, huber, delta_k = _cpu_graph_arrays(b)
+    a3 = np.arange(3)
+    rr_ii = np.broadcast_to(
+        3 * ei[:, None, None] + a3[None, :, None], (len(ei), 3, 3)).ravel()
+    cc_ii = np.broadcast_to(
+        3 * ei[:, None, None] + a3[None, None, :], (len(ei), 3, 3)).ravel()
+    rr_jj = np.broadcast_to(
+        3 * ej[:, None, None] + a3[None, :, None], (len(ej), 3, 3)).ravel()
+    cc_jj = np.broadcast_to(
+        3 * ej[:, None, None] + a3[None, None, :], (len(ej), 3, 3)).ravel()
+    rows = np.concatenate([rr_ii, rr_ii, rr_jj, rr_jj, np.arange(3)])
+    cols = np.concatenate([cc_ii, cc_jj, cc_ii, cc_jj, np.arange(3)])
 
     t0 = time.perf_counter()
-    lam = 1e-6
-    for _ in range(iters):
-        xi, xj = x[ei], x[ej]
-        ci, si = np.cos(xi[:, 2]), np.sin(xi[:, 2])
-        cm, sm = np.cos(meas[:, 2]), np.sin(meas[:, 2])
-        dx = xj[:, 0] - xi[:, 0]
-        dy = xj[:, 1] - xi[:, 1]
-        # e = R(m)^T (R(θi)^T (tj - ti) - tm); eθ = wrap(θj - θi - θm)
-        lx = ci * dx + si * dy
-        ly = -si * dx + ci * dy
-        ex = cm * (lx - meas[:, 0]) + sm * (ly - meas[:, 1])
-        ey = -sm * (lx - meas[:, 0]) + cm * (ly - meas[:, 1])
-        et = wrap(xj[:, 2] - xi[:, 2] - meas[:, 2])
-        r = np.stack([ex, ey, et], 1)                       # (E,3)
-
-        # Jacobians wrt (ti, θi) and (tj, θj);
-        # A = R(m)^T R(θi)^T with R(θ)^T = [[c, s], [-s, c]]
-        A = np.empty((E, 2, 2))
-        A[:, 0, 0] = cm * ci + sm * -si
-        A[:, 0, 1] = cm * si + sm * ci
-        A[:, 1, 0] = -sm * ci + cm * -si
-        A[:, 1, 1] = -sm * si + cm * ci
-        # d(local)/dθi = dR(θi)^T/dθ (tj-ti)
-        dlx = -si * dx + ci * dy
-        dly = -ci * dx - si * dy
-        dthx = cm * dlx + sm * dly
-        dthy = -sm * dlx + cm * dly
-
-        rows, cols, vals = [], [], []
-        Hb = np.zeros(3 * V)
-        # accumulate sparse normal equations in COO
-        Ji = np.zeros((E, 3, 3))
-        Ji[:, :2, :2] = -A
-        Ji[:, 0, 2] = dthx
-        Ji[:, 1, 2] = dthy
-        Ji[:, 2, 2] = -1.0
-        Jj = np.zeros((E, 3, 3))
-        Jj[:, :2, :2] = A
-        Jj[:, 2, 2] = 1.0
-
-        JiT_W = np.einsum("eab,ebc->eac", Ji.transpose(0, 2, 1), infos)
-        JjT_W = np.einsum("eab,ebc->eac", Jj.transpose(0, 2, 1), infos)
-        Hii = np.einsum("eab,ebc->eac", JiT_W, Ji)
-        Hij = np.einsum("eab,ebc->eac", JiT_W, Jj)
-        Hjj = np.einsum("eab,ebc->eac", JjT_W, Jj)
+    r, Ji, Jj = _cpu_linearize(x, ei, ej, meas)
+    chi2, w = _cpu_robust(r, infos, huber, delta_k)
+    lam, nu = 1e-5 * 400.0, 2.0
+    it = 0
+    while it < max_iters:
+        Wf = infos * w[:, None, None]
+        JiT_W = np.einsum("eba,ebc->eac", Ji, Wf)
+        JjT_W = np.einsum("eba,ebc->eac", Jj, Wf)
+        Hii = JiT_W @ Ji
+        Hij = JiT_W @ Jj
+        Hjj = JjT_W @ Jj
         bi = np.einsum("eab,eb->ea", JiT_W, r)
         bj = np.einsum("eab,eb->ea", JjT_W, r)
-
-        def blocks(bi_idx, bj_idx, M):
-            rr = (3 * bi_idx[:, None, None] + np.arange(3)[None, :, None])
-            cc_ = (3 * bj_idx[:, None, None] + np.arange(3)[None, None, :])
-            rows.append(np.broadcast_to(rr, M.shape).ravel())
-            cols.append(np.broadcast_to(cc_, M.shape).ravel())
-            vals.append(M.ravel())
-
-        blocks(ei, ei, Hii)
-        blocks(ei, ej, Hij)
-        blocks(ej, ei, Hij.transpose(0, 2, 1))
-        blocks(ej, ej, Hjj)
-        np.add.at(Hb, (3 * ei[:, None] + np.arange(3)).ravel(), bi.ravel())
-        np.add.at(Hb, (3 * ej[:, None] + np.arange(3)).ravel(), bj.ravel())
-
-        H = sp.coo_matrix(
-            (np.concatenate(vals),
-             (np.concatenate(rows), np.concatenate(cols))),
-            shape=(3 * V, 3 * V),
-        ).tocsc()
+        Hb = np.zeros(3 * V)
+        np.add.at(Hb, (3 * ei[:, None] + a3).ravel(), bi.ravel())
+        np.add.at(Hb, (3 * ej[:, None] + a3).ravel(), bj.ravel())
+        vals = np.concatenate([
+            Hii.ravel(), Hij.ravel(),
+            Hij.transpose(0, 2, 1).ravel(), Hjj.ravel(),
+            np.full(3, 1e12),  # gauge: clamp vertex 0
+        ])
+        H = sp.coo_matrix((vals, (rows, cols)), shape=(3 * V, 3 * V)).tocsc()
         H = H + sp.identity(3 * V, format="csc") * lam
-        # gauge fix: clamp vertex 0
-        fix = sp.coo_matrix(
-            (np.full(3, 1e12), (np.arange(3), np.arange(3))),
-            shape=(3 * V, 3 * V),
-        ).tocsc()
-        H = H + fix
-        delta = spl.splu(H).solve(-Hb)
-        x = x + delta.reshape(V, 3)
-        x[:, 2] = wrap(x[:, 2])
+        dx = spl.splu(H).solve(-Hb)
+        xt = x + dx.reshape(V, 3)
+        xt[:, 2] = _cpu_wrap(xt[:, 2])
+        rt, Ji_t, Jj_t = _cpu_linearize(xt, ei, ej, meas)
+        chi2_t, w_t = _cpu_robust(rt, infos, huber, delta_k)
+        denom = np.sum(dx * (lam * dx - Hb))
+        rho_g = (chi2 - chi2_t) / max(abs(denom), 1e-30)
+        if chi2_t < chi2:
+            x, chi2 = xt, chi2_t
+            r, Ji, Jj, w = rt, Ji_t, Jj_t, w_t
+            lam *= max(1.0 / 3.0, 1.0 - (2 * rho_g - 1) ** 3)
+            nu = 2.0
+        else:
+            lam *= nu
+            nu *= 2.0
+        it += 1
+        if lam > 1e12:
+            break
     dt = time.perf_counter() - t0
     ate = float(np.mean(np.linalg.norm(x[:, :2] - gt[:, :2], axis=1)))
-    return dt * 1000.0 / iters, ate
+    return dt * 1000.0 / it, it, float(chi2), ate
 
 
 def main():
     platform = jax.devices()[0].platform
     # CPU baselines FIRST: measured 4x inflated when run after the TPU
     # workloads in the same process (tunnel I/O threads steal the core)
-    cpu_lm_ms, cpu_ate = bench_pose_graph_cpu()
-    cpu_lm_ms_16k, _ = bench_pose_graph_cpu(n_nodes=16384, iters=3)
+    cpu_lm_ms, cpu_iters, cpu_chi2, cpu_ate = bench_pose_graph_cpu()
+    cpu_lm_ms_16k, _, cpu_chi2_16k, cpu_ate_16k = bench_pose_graph_cpu(
+        n_nodes=16384, max_iters=8
+    )
     e2e_sps, n_kf = bench_e2e()
     (odo_sps, n_swaps, err_t, aligned_single, aligned_best,
      conv_rate) = bench_registration()
-    lm_ms, lm_iters, chi2_ratio, lm_ate = bench_pose_graph()
-    lm_ms_16k, _, chi2_16k, _ = bench_pose_graph(n_nodes=16384)
+    lm_ms, lm_iters, lm_chi2, lm_ate = bench_pose_graph()
+    lm_ms_16k, _, lm_chi2_16k, lm_ate_16k = bench_pose_graph(n_nodes=16384)
+    inc_ms, inc_cycles, inc_chi2, inc_ate = bench_pose_graph_incremental()
 
-    # reference baseline: ~1 scan/sec effective (0.1x replay of 10 Hz KITTI)
     result = {
         "metric": "e2e_scans_per_sec",
         "value": round(e2e_sps, 2),
         "unit": "scans/sec (full delta pipeline: prefilter+odom+backend)",
+        # the reference documents 0.1x replay of 10 Hz KITTI => ~1 scan/s
+        # effective (README.md:29). That is an ESTIMATE, not a measured
+        # number (no ROS/bags in this container) — flagged explicitly:
         "vs_baseline": round(e2e_sps / 1.0, 2),
+        "baseline_is_estimated": True,
+        "baseline_estimate_source": "reference README.md:29 (0.1x replay)",
         "platform": platform,
         "e2e_keyframes": n_kf,
         "odometry_scans_per_sec": round(odo_sps, 2),
@@ -366,18 +468,31 @@ def main():
         "aligned_scans_per_sec_single_pass": round(aligned_single, 2),
         "aligned_scans_per_sec_best_of_2": round(aligned_best, 2),
         "convergence_rate": round(conv_rate, 3),
+        # -- pose-graph LM: TPU vs CPU on the IDENTICAL robust objective
+        # (Huber loop edges, g2o lambda schedule, f64 SuperLU baseline)
         "pose_graph_lm_ms_per_iter": round(lm_ms, 3),
         "pose_graph_nodes": 4096,
         "pose_graph_lm_iters": lm_iters,
-        "pose_graph_chi2_reduction": round(chi2_ratio, 6),
+        "pose_graph_final_chi2": round(lm_chi2, 4),
         "pose_graph_ate_vs_gt_m": round(lm_ate, 4),
         "pose_graph_16k_lm_ms_per_iter": round(lm_ms_16k, 3),
-        "pose_graph_16k_chi2_reduction": round(chi2_16k, 6),
-        "cpu_sparse_lm_ms_per_iter": round(cpu_lm_ms, 3),
-        "cpu_sparse_lm_ate_m": round(cpu_ate, 4),
+        "pose_graph_16k_final_chi2": round(lm_chi2_16k, 4),
+        "pose_graph_16k_ate_vs_gt_m": round(lm_ate_16k, 4),
+        "cpu_robust_lm_ms_per_iter": round(cpu_lm_ms, 3),
+        "cpu_robust_lm_final_chi2": round(cpu_chi2, 4),
+        "cpu_robust_lm_ate_m": round(cpu_ate, 4),
+        "cpu_robust_lm_16k_ms_per_iter": round(cpu_lm_ms_16k, 3),
+        "cpu_robust_lm_16k_final_chi2": round(cpu_chi2_16k, 4),
+        "cpu_robust_lm_16k_ate_m": round(cpu_ate_16k, 4),
         "lm_speedup_vs_cpu": round(cpu_lm_ms / max(lm_ms, 1e-9), 2),
-        "cpu_sparse_lm_16k_ms_per_iter": round(cpu_lm_ms_16k, 3),
         "lm_16k_speedup_vs_cpu": round(cpu_lm_ms_16k / max(lm_ms_16k, 1e-9), 2),
+        # -- warm-started incremental regime (the reference's 3 s cadence,
+        # delta_graph_slam_nodelet.cpp:793-927)
+        "incremental_ms_per_cycle": round(inc_ms, 3),
+        "incremental_cycles": inc_cycles,
+        "incremental_nodes": 16384,
+        "incremental_final_chi2": round(inc_chi2, 4),
+        "incremental_ate_vs_gt_m": round(inc_ate, 4),
     }
     print(json.dumps(result))
 

@@ -27,13 +27,17 @@ e.g. level-1 building refinement — keyframes frozen, every kf<->building
 edge anchored on a fixed keyframe — has K ~ 0 and runs as a pure chain
 solve.
 
-Numerics: elimination down a long f32 chain leaves ~1e-2 relative step
-error (kappa(H) ~ 1e7); one iterative-refinement pass against the full
-(H + lam I) residual — reusing the same BCR factors and Woodbury
-capacitance — brings it to ~1e-4, plenty for an LM step (CG at rtol 1e-5
-is no more exact). The factor is rebuilt every LM iteration anyway
-(lam and the linearization change), so refinement costs only one extra
-single-RHS sweep.
+Numerics: a SLAM chain's kappa grows ~ N^2 (Laplacian-like), so f32
+elimination loses the whole mantissa at production sizes — measured
+272% relative step error at N=4096 once LM's lambda drops below ~1e-5
+(exactly the regime tail convergence needs; the LM visibly stalled at
+chi2 0.41 / ATE 13.5 m vs the true optimum 0.2957 / 7.58 m). The
+default precision="df" therefore runs the elimination in double-float
+(graph/df_linalg.py, ~2^-48 eps): kappa * eps_df ~ 1e-7 at 4k — exact
+Newton steps at any lambda, in f32-speed elementwise arithmetic that
+XLA fuses (software f64 on TPU measured ~1000x slower). The optional
+iterative-refinement pass (refine_steps) then mainly covers the
+f32-formed Woodbury capacitance.
 """
 
 from functools import partial
@@ -56,10 +60,26 @@ def _edge_hessians(sys: LinSys):
 
 def _classify(sys: LinSys, free_v):
     """(chainlike, off) edge masks: off = couples two free vertices more
-    than one index apart; everything else folds into the tridiagonal."""
+    than one index apart; everything else folds into the tridiagonal.
+
+    Gated by edge activity (any W != 0): level-masked / padded / robustly
+    zero-weighted edges are exact no-ops either way, so they must not
+    consume Woodbury slots or count toward capacity overflow (ADVICE r2).
+    """
+    active = jnp.any(sys.W != 0, axis=(1, 2))
     d = jnp.abs(sys.i - sys.j)
-    off = (d > 1) & free_v[sys.i] & free_v[sys.j]
+    off = (d > 1) & free_v[sys.i] & free_v[sys.j] & active
     return ~off, off
+
+
+def offchain_overflow(sys: LinSys, free, K_cap):
+    """Active off-chain edges beyond the Woodbury capacity (int32)."""
+    free_v = jnp.any(free > 0, axis=1)
+    _, off = _classify(sys, free_v)
+    k_eff = min(int(K_cap), sys.i.shape[0])
+    return jnp.maximum(
+        jnp.sum(off).astype(jnp.int32) - k_eff, 0
+    ).astype(jnp.int32)
 
 
 def assemble_tridiag(sys: LinSys, N, free, lam, chain_mask):
@@ -92,6 +112,66 @@ def assemble_tridiag(sys: LinSys, N, free, lam, chain_mask):
     return A, B
 
 
+def assemble_tridiag_df(sys: LinSys, N, free, lam, chain_mask):
+    """Double-float assembly of T (see assemble_tridiag for semantics).
+
+    Both the J^T W J products and the per-vertex accumulation run in
+    double-float: f32 assembly perturbs T by ~1e-7 relative, and with
+    kappa(T) ~ N^2 that alone puts O(1) error in the solve at small
+    lambda (measured as step errors growing ~1/lambda in the LM tail)
+    no matter how exact the elimination is.
+    """
+    from .df_linalg import DFM, df_add, df_bT, df_bmm, df_segment_sum, dfm
+
+    D = free.shape[1]
+    dtype = free.dtype
+    Jid, Jjd, Wd = dfm(sys.Ji), dfm(sys.Jj), dfm(sys.W)
+    WJi = df_bmm(Wd, Jid)
+    WJj = df_bmm(Wd, Jjd)
+    JiT, JjT = df_bT(Jid), df_bT(Jjd)
+    Hii = df_bmm(JiT, WJi)
+    Hjj = df_bmm(JjT, WJj)
+    Hij = df_bmm(JiT, WJj)
+
+    m = chain_mask[:, None, None].astype(dtype)
+    both = DFM(jnp.concatenate([Hii.hi * m, Hjj.hi * m]),
+               jnp.concatenate([Hii.lo * m, Hjj.lo * m]))
+    A = df_segment_sum(both, jnp.concatenate([sys.i, sys.j]), N)
+
+    sub_ok = (chain_mask & (jnp.abs(sys.i - sys.j) == 1))[:, None, None]
+    HijT = df_bT(Hij)
+    swap = (sys.j > sys.i)[:, None, None]
+    val = DFM(
+        jnp.where(swap, HijT.hi, Hij.hi) * sub_ok.astype(dtype),
+        jnp.where(swap, HijT.lo, Hij.lo) * sub_ok.astype(dtype),
+    )
+    B = df_segment_sum(val, jnp.maximum(sys.i, sys.j), N)
+
+    eye = jnp.eye(D, dtype=dtype)
+    fm = free[:, :, None] * free[:, None, :]
+    diag_extra = (1.0 - fm) * eye[None] + lam * free[:, :, None] * eye[None]
+    A = df_add(DFM(A.hi * fm, A.lo * fm), dfm(diag_extra))
+    bm = free[:, :, None] * jnp.roll(free, 1, axis=0)[:, None, :]
+    B = DFM((B.hi * bm).at[0].set(0.0), (B.lo * bm).at[0].set(0.0))
+    return A, B
+
+
+def _inv_dense(M):
+    """Dense inverse that works in f64 on TPU.
+
+    XLA:TPU has no f64 LU ("Only F32 ... implemented in LuDecomposition"),
+    so for f64 inputs invert in f32 and polish with one Newton step
+    X <- X (2I - M X), which doubles the correct digits (~1e-7 -> ~1e-14).
+    The matrices here are small (base block <= 64*D, capacitance K*D), so
+    the two extra emulated-f64 matmuls are cheap.
+    """
+    if M.dtype == jnp.float64:
+        X = jnp.linalg.inv(M.astype(jnp.float32)).astype(jnp.float64)
+        eye2 = 2.0 * jnp.eye(M.shape[-1], dtype=M.dtype)
+        return X @ (eye2 - M @ X)
+    return jnp.linalg.inv(M)
+
+
 def _inv_blocks(A):
     """Batched small-block inverse. For D=3 use the closed-form adjugate
     (a handful of fused elementwise ops) — jnp.linalg.inv lowers to a
@@ -118,7 +198,7 @@ def _inv_blocks(A):
             jnp.stack([A20, A21, A22], -1),
         ], -2)
         return adj * inv_det[..., None, None]
-    return jnp.linalg.inv(A)
+    return _inv_dense(A)
 
 
 def bcr_factor(A, B, base_blocks=64):
@@ -161,7 +241,7 @@ def bcr_factor(A, B, base_blocks=64):
     Hd = Hd.at[c2.transpose(0, 2, 1), r2.transpose(0, 2, 1)].add(
         jnp.swapaxes(B[1:], 1, 2)
     )
-    return levels, jnp.linalg.inv(Hd)
+    return levels, _inv_dense(Hd)
 
 
 def bcr_apply(factors, g):
@@ -192,6 +272,108 @@ def bcr_apply(factors, g):
     return x
 
 
+def bcr_factor_df(A, B):
+    """Double-float cyclic-reduction factorization (graph/df_linalg.py).
+
+    Why: f32 elimination down an N-block SLAM chain has forward error
+    ~ C * kappa * eps with kappa ~ N^2; at N=4096 the LM step is 100%+
+    wrong once the damping drops below ~1e-5 (measured), which is
+    exactly the regime the tail of Levenberg-Marquardt lives in. The
+    df arithmetic (~2^-48 eps) makes every step an exact Newton step at
+    any lambda. Reduces all the way to one block (a dense base inverse
+    would need Newton polishing whose contraction ||I - M X0|| ~
+    kappa*eps_f32 > 1 diverges at 16k nodes — df_inv3 at M=1 does not).
+
+    A (M,D,D), B (M,D,D) f32, M a power of two. Returns df levels +
+    df base inverse for bcr_apply_df.
+    """
+    from .df_linalg import DFM, df_add, df_bT, df_bmm, df_inv3, df_neg, dfm
+
+    def sl(X, s):
+        return DFM(X.hi[s], X.lo[s])
+
+    def roll1(X):
+        return DFM(jnp.roll(X.hi, 1, axis=0), jnp.roll(X.lo, 1, axis=0))
+
+    Ad = A if isinstance(A, DFM) else dfm(A)
+    Bd = B if isinstance(B, DFM) else dfm(B)
+    levels = []
+    while Ad.hi.shape[0] > 1:
+        Ao = sl(Ad, jnp.s_[1::2])
+        B_o = sl(Bd, jnp.s_[1::2])
+        B_o1 = DFM(
+            jnp.concatenate([Bd.hi[2::2], jnp.zeros_like(Bd.hi[:1])]),
+            jnp.concatenate([Bd.lo[2::2], jnp.zeros_like(Bd.lo[:1])]),
+        )
+        B_e = sl(Bd, jnp.s_[0::2])
+        Ao_inv = df_inv3(Ao)
+        Ao_inv_Bo = df_bmm(Ao_inv, B_o)
+        Ao_inv_B1T = df_bmm(Ao_inv, df_bT(B_o1))
+        levels.append((Ao_inv, B_o, B_e, Ao_inv_Bo, Ao_inv_B1T))
+
+        BoT = df_bT(B_o)
+        Ae = sl(Ad, jnp.s_[0::2])
+        Ad = df_add(
+            Ae,
+            df_neg(df_add(df_bmm(BoT, Ao_inv_Bo),
+                          df_bmm(B_e, roll1(Ao_inv_B1T)))),
+        )
+        Bn = df_neg(df_bmm(B_e, roll1(Ao_inv_Bo)))
+        Bd = DFM(Bn.hi.at[0].set(0.0), Bn.lo.at[0].set(0.0))
+    return levels, df_inv3(Ad)
+
+
+def bcr_apply_df(factors, g):
+    """Solve T x = g in double-float; g (M,D,R) f32, returns DFM.
+
+    Returns BOTH limbs: T^{-1} amplifies the chain's global modes, so
+    the solution components are huge (~1e4x the final step) and the
+    Woodbury combination x = u - V y cancels them — collapsing to f32
+    before that subtraction would lose exactly the bits that matter
+    (measured as the chi2-0.41 LM stall the df path exists to fix)."""
+    from .df_linalg import DFM, df_add, df_bT, df_bmm, df_neg, dfm
+
+    def roll1(X):
+        return DFM(jnp.roll(X.hi, 1, axis=0), jnp.roll(X.lo, 1, axis=0))
+
+    levels, base_inv = factors
+    gd = dfm(g)
+    saved = []
+    for Ao_inv, B_o, B_e, _, _ in levels:
+        go = DFM(gd.hi[1::2], gd.lo[1::2])
+        t1 = df_bmm(Ao_inv, go)
+        saved.append(t1)
+        ge = DFM(gd.hi[0::2], gd.lo[0::2])
+        gd = df_add(
+            ge,
+            df_neg(df_add(df_bmm(df_bT(B_o), t1),
+                          df_bmm(B_e, roll1(t1)))),
+        )
+
+    x = df_bmm(base_inv, gd)
+
+    for (Ao_inv, B_o, _, Ao_inv_Bo, Ao_inv_B1T), t1 in zip(
+        reversed(levels), reversed(saved)
+    ):
+        x_even = x
+        x_right = DFM(
+            jnp.concatenate([x_even.hi[1:], jnp.zeros_like(x_even.hi[:1])]),
+            jnp.concatenate([x_even.lo[1:], jnp.zeros_like(x_even.lo[:1])]),
+        )
+        x_odd = df_add(
+            t1,
+            df_neg(df_add(df_bmm(Ao_inv_Bo, x_even),
+                          df_bmm(Ao_inv_B1T, x_right))),
+        )
+        M2 = x_even.hi.shape[0] * 2
+        hi = jnp.zeros((M2,) + x_even.hi.shape[1:], x_even.hi.dtype)
+        lo = jnp.zeros_like(hi)
+        hi = hi.at[0::2].set(x_even.hi).at[1::2].set(x_odd.hi)
+        lo = lo.at[0::2].set(x_even.lo).at[1::2].set(x_odd.lo)
+        x = DFM(hi, lo)
+    return x
+
+
 def _offchain_compact(sys: LinSys, off_mask, K_cap):
     """Gather the first K_cap off-chain edges (sorted: off first)."""
     order = jnp.argsort(~off_mask)[:K_cap]
@@ -204,25 +386,32 @@ def _offchain_compact(sys: LinSys, off_mask, K_cap):
 
 
 @partial(jax.jit, static_argnames=("N", "K_cap", "base_blocks",
-                                   "refine_steps"))
+                                   "refine_steps", "precision"))
 def chain_solve(sys: LinSys, b, free, lam, N, K_cap=128, base_blocks=64,
-                refine_steps=1):
+                refine_steps=1, precision="df"):
     """Direct solve (H + lam I) x = b. Returns (x (N,D), n_dropped).
 
     n_dropped > 0 means more off-chain edges than K_cap — the caller
     should re-dispatch with a bigger capacity (host-side bucketing).
 
-    All matmuls run at HIGHEST precision: the TPU's default bf16-pass
-    matmul (8-bit mantissa) destroys the block elimination down a long
-    chain — measured chi2 100x worse than f32 on a 4k-node solve.
+    precision="df" (default) runs the cyclic-reduction elimination in
+    double-float (bcr_factor_df): an N-node chain has kappa ~ N^2, so
+    f32 elimination loses the entire mantissa at production sizes —
+    measured 272% step error at 4k nodes / small lambda, which stalls
+    LM far from the optimum (ATE 13.5 m vs the true 7.6 m). "f32" keeps
+    the old single-precision path (fine for N <~ 512 or loose lambda).
+
+    All f32 matmuls run at HIGHEST precision: the TPU's default
+    bf16-pass matmul (8-bit mantissa) destroys the block elimination —
+    measured chi2 100x worse than f32 on a 4k-node solve.
     """
     with jax.default_matmul_precision("highest"):
         return _chain_solve_impl(sys, b, free, lam, N, K_cap, base_blocks,
-                                 refine_steps)
+                                 refine_steps, precision)
 
 
 def _chain_solve_impl(sys, b, free, lam, N, K_cap, base_blocks,
-                      refine_steps):
+                      refine_steps, precision):
     K_cap = min(K_cap, sys.i.shape[0])  # tiny graphs: fewer edges than slots
     D = b.shape[1]
     dtype = b.dtype
@@ -230,11 +419,33 @@ def _chain_solve_impl(sys, b, free, lam, N, K_cap, base_blocks,
     chain_mask, off_mask = _classify(sys, free_v)
 
     P = 1 << max(int(N - 1).bit_length(), int(base_blocks).bit_length())
-    A, B = assemble_tridiag(sys, N, free, lam, chain_mask)
-    padA = jnp.broadcast_to(jnp.eye(D, dtype=dtype), (P - N, D, D))
-    A = jnp.concatenate([A, padA])
-    B = jnp.concatenate([B, jnp.zeros((P - N, D, D), dtype)])
-    factors = bcr_factor(A, B, base_blocks=base_blocks)
+    if precision == "df":
+        from .df_linalg import DFM
+
+        Ad, Bd = assemble_tridiag_df(sys, N, free, lam, chain_mask)
+        padA = jnp.broadcast_to(jnp.eye(D, dtype=dtype), (P - N, D, D))
+        padZ = jnp.zeros((P - N, D, D), dtype)
+        Ad = DFM(jnp.concatenate([Ad.hi, padA]),
+                 jnp.concatenate([Ad.lo, padZ]))
+        Bd = DFM(jnp.concatenate([Bd.hi, padZ]),
+                 jnp.concatenate([Bd.lo, padZ]))
+        factors_df = bcr_factor_df(Ad, Bd)
+
+        def apply_T_df(g):
+            return bcr_apply_df(factors_df, g)
+
+        def apply_T(g):
+            r = apply_T_df(g)
+            return r.hi + r.lo
+    else:
+        A, B = assemble_tridiag(sys, N, free, lam, chain_mask)
+        padA = jnp.broadcast_to(jnp.eye(D, dtype=dtype), (P - N, D, D))
+        A = jnp.concatenate([A, padA])
+        B = jnp.concatenate([B, jnp.zeros((P - N, D, D), dtype)])
+        factors = bcr_factor(A, B, base_blocks=base_blocks)
+
+        def apply_T(g):
+            return bcr_apply(factors, g)
 
     if K_cap == 0:
         # pure chain solve (e.g. level-1 building refinement: every edge
@@ -244,7 +455,7 @@ def _chain_solve_impl(sys, b, free, lam, N, K_cap, base_blocks,
         def solve_once(rhs):
             rf = (rhs * free)[:, :, None]
             rf = jnp.concatenate([rf, jnp.zeros((P - N, D, 1), dtype)])
-            return bcr_apply(factors, rf)[:N, :, 0] * free
+            return apply_T(rf)[:N, :, 0] * free
     else:
         ei, ej, Ji, Jj, W, n_drop = _offchain_compact(sys, off_mask, K_cap)
         K = K_cap
@@ -259,18 +470,73 @@ def _chain_solve_impl(sys, b, free, lam, N, K_cap, base_blocks,
         )
         Ct = Ct * free[:, :, None]
         Ct = jnp.concatenate([Ct, jnp.zeros((P - N, D, K * D), dtype)])
-        V = bcr_apply(factors, Ct)[:N]                        # (N,D,K*D)
-        CV = bmm(Ji, V[ei]) + bmm(Jj, V[ej])
-        Mcap = jnp.eye(K * D, dtype=dtype) + bmm(W, CV).reshape(K * D, K * D)
-        Mcap_inv = jnp.linalg.inv(Mcap)
+        if precision == "df":
+            # Full-df Woodbury: u and V carry the chain's amplified
+            # global modes (entries ~1e4x the step), and BOTH C-products
+            # and the final x = u - V y cancel them. Everything between
+            # the df T-solves and the final collapse stays two-limb;
+            # only the well-conditioned capacitance inverse (measured
+            # kappa ~2e3 on the bench graph) runs in f32.
+            from .df_linalg import DFM, df_add, df_bmm, df_matmul, dfm
 
-        def solve_once(rhs):
-            rf = (rhs * free)[:, :, None]
-            rf = jnp.concatenate([rf, jnp.zeros((P - N, D, 1), dtype)])
-            u = bcr_apply(factors, rf)[:N, :, 0]
-            Cu = bmv(Ji, u[ei]) + bmv(Jj, u[ej])
-            WCu = bmv(W, Cu).reshape(K * D)
-            return (u - V @ (Mcap_inv @ WCu)) * free
+            Vd = apply_T_df(Ct)
+            Vd = DFM(Vd.hi[:N], Vd.lo[:N])                    # (N,D,K*D)
+            CVd = df_add(
+                df_bmm(dfm(Ji), DFM(Vd.hi[ei], Vd.lo[ei])),
+                df_bmm(dfm(Jj), DFM(Vd.hi[ej], Vd.lo[ej])),
+            )
+            WCVd = df_bmm(dfm(W), CVd)                        # (K,D,K*D)
+            eyeKD = jnp.eye(K * D, dtype=dtype)
+            Mcap_d = df_add(
+                dfm(eyeKD),
+                DFM(WCVd.hi.reshape(K * D, K * D),
+                    WCVd.lo.reshape(K * D, K * D)),
+            )
+            Mcap_inv = _inv_dense(Mcap_d.hi)
+            V2 = DFM(Vd.hi.reshape(N * D, K * D),
+                     Vd.lo.reshape(N * D, K * D))
+
+            def solve_once(rhs):
+                rf = (rhs * free)[:, :, None]
+                rf = jnp.concatenate([rf, jnp.zeros((P - N, D, 1), dtype)])
+                ud = apply_T_df(rf)
+                ud = DFM(ud.hi[:N, :, 0], ud.lo[:N, :, 0])    # (N,D)
+                Cud = df_add(
+                    df_bmm(dfm(Ji), DFM(ud.hi[ei, :, None],
+                                        ud.lo[ei, :, None])),
+                    df_bmm(dfm(Jj), DFM(ud.hi[ej, :, None],
+                                        ud.lo[ej, :, None])),
+                )
+                Cu = (Cud.hi + Cud.lo)[:, :, 0]               # (K,D)
+                WCu = bmv(W, Cu).reshape(K * D)
+                # f32-preconditioned df refinement of the capacitance
+                # solve: kappa(Mcap) grows as lambda -> 0 (it carries
+                # T^{-1}), so a plain f32 inverse caps step accuracy in
+                # exactly the tail LM regime; two df-residual passes
+                # contract the error by (kappa * eps_f32)^2.
+                y = Mcap_inv @ WCu
+                for _ in range(2):
+                    My = df_matmul(Mcap_d, dfm(y[:, None]))
+                    ry = WCu - (My.hi + My.lo)[:, 0]
+                    y = y + Mcap_inv @ ry
+                Vy = df_matmul(V2, dfm(y[:, None]))           # (N*D,1) df
+                xh = ud.hi - Vy.hi.reshape(N, D)              # Sterbenz
+                xl = ud.lo - Vy.lo.reshape(N, D)
+                return (xh + xl) * free
+        else:
+            V = apply_T(Ct)[:N]                               # (N,D,K*D)
+            CV = bmm(Ji, V[ei]) + bmm(Jj, V[ej])
+            Mcap = (jnp.eye(K * D, dtype=dtype)
+                    + bmm(W, CV).reshape(K * D, K * D))
+            Mcap_inv = _inv_dense(Mcap)
+
+            def solve_once(rhs):
+                rf = (rhs * free)[:, :, None]
+                rf = jnp.concatenate([rf, jnp.zeros((P - N, D, 1), dtype)])
+                u = apply_T(rf)[:N, :, 0]
+                Cu = bmv(Ji, u[ei]) + bmv(Jj, u[ej])
+                WCu = bmv(W, Cu).reshape(K * D)
+                return (u - V @ (Mcap_inv @ WCu)) * free
 
     x = solve_once(b)
     for _ in range(refine_steps):

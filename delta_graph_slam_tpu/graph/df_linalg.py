@@ -1,0 +1,259 @@
+"""Double-float (two-f32) batched small-matrix algebra for the BCR core.
+
+Why this exists: the block-cyclic-reduction elimination down an N-block
+pose-graph chain has forward error ~ C * kappa(T) * eps. A SLAM chain's
+kappa grows like N^2 (Laplacian-like), so at N=4096 f32 loses ALL
+precision at small LM damping (measured 270% step error once lambda drops
+under ~1e-5 — exactly the regime Levenberg-Marquardt needs for tail
+convergence). TPU hardware has no f64, and XLA's software-emulated f64 is
+~1000x slower than f32 here (measured 7.3 s vs 4.4 ms per LM iteration).
+
+The fix is double-float arithmetic exactly where the elimination error
+compounds: every value is an unevaluated sum (hi, lo) of two f32s
+(~2^-48 effective epsilon), built from error-free transforms:
+
+  - two_sum   (Knuth):   a + b = s + e exactly, 6 ops
+  - two_prod  (Dekker):  a * b = p + e exactly, via magnitude splitting
+                         (no FMA exposed through jnp on TPU)
+
+All helpers are branch-free elementwise ops on (..., 3, 3) batches, so
+XLA fuses each df matmul into a handful of VPU kernels — the op-count
+inflation (~8x) stays inside fused kernels instead of multiplying kernel
+launches. kappa * eps_df ~ 1.7e7 * 4e-15 ~ 1e-7: exact Newton steps at
+any lambda the LM schedule reaches.
+
+Replaces the f64 CHOLMOD arithmetic of the reference's solver
+(/root/reference/src/hdl_graph_slam/graph_slam.cpp:31-33, g2o doubles).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SPLIT = np.float32(4097.0)  # 2^12 + 1 Dekker split for f32 (24-bit)
+
+
+class DFM(NamedTuple):
+    """Double-float array: value = hi + lo elementwise."""
+
+    hi: jnp.ndarray
+    lo: jnp.ndarray
+
+
+def dfm(hi, lo=None) -> DFM:
+    return DFM(hi, jnp.zeros_like(hi) if lo is None else lo)
+
+
+# XLA's optimizer deletes textbook error-free transforms: the algebraic
+# simplifier folds patterns like a - (s - (s - a)) once fusion exposes
+# them (and jax.lax.optimization_barrier does NOT survive to that pass —
+# measured: barriers present in stablehlo, stripped in the optimized HLO,
+# jitted df dot products collapsing to plain-f32 accuracy on XLA:CPU).
+# The select-based Dekker/Moller form below is simplifier-proof: every
+# cancellation-carrying subtraction goes through jnp.where with a
+# runtime predicate, which the simplifier cannot reason through.
+
+def _two_sum(a, b):
+    """a + b = s + e exactly, via magnitude-ordered fast_two_sum."""
+    s = a + b
+    a_big = jnp.abs(a) >= jnp.abs(b)
+    big = jnp.where(a_big, a, b)
+    small = jnp.where(a_big, b, a)
+    e = small - (s - big)
+    return s, e
+
+
+def _quick_two_sum(a, b):
+    """Same as _two_sum (the |a|>=|b| precondition is subsumed by the
+    select, which we need anyway to stay opaque to the simplifier)."""
+    return _two_sum(a, b)
+
+
+def _split(a):
+    t = _SPLIT * a
+    hi = t - (t - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def df_add(x: DFM, y: DFM) -> DFM:
+    s, e = _two_sum(x.hi, y.hi)
+    e = e + (x.lo + y.lo)
+    return DFM(*_quick_two_sum(s, e))
+
+
+def df_neg(x: DFM) -> DFM:
+    return DFM(-x.hi, -x.lo)
+
+def df_sub(x: DFM, y: DFM) -> DFM:
+    return df_add(x, df_neg(y))
+
+
+def df_mul(x: DFM, y: DFM) -> DFM:
+    p, e = _two_prod(x.hi, y.hi)
+    e = e + (x.hi * y.lo + x.lo * y.hi)
+    return DFM(*_quick_two_sum(p, e))
+
+
+def df_div(x: DFM, y: DFM) -> DFM:
+    """One Newton-refined division (standard double-float recipe)."""
+    q1 = x.hi / y.hi
+    r = df_sub(x, df_scale(y, q1))
+    q2 = r.hi / y.hi
+    r = df_sub(r, df_scale(y, q2))
+    q3 = r.hi / y.hi
+    s, e = _quick_two_sum(q1, q2)
+    return DFM(*_quick_two_sum(s, e + q3))
+
+
+def df_scale(x: DFM, f) -> DFM:
+    """x * f where f is a plain f32 array/scalar."""
+    p, e = _two_prod(x.hi, f)
+    e = e + x.lo * f
+    return DFM(*_quick_two_sum(p, e))
+
+
+def df_value(x: DFM):
+    return x.hi + x.lo
+
+
+# ------------------------------------------------------- batched 3x3 algebra
+
+def df_bmm(A: DFM, B: DFM) -> DFM:
+    """Batched (...,D,K) @ (...,K,N) in double-float.
+
+    Broadcast-multiply + df summation along K (matches lm_core.bmm's
+    layout so XLA fuses it the same way).
+    """
+    a_h = A.hi[..., :, :, None]
+    a_l = A.lo[..., :, :, None]
+    b_h = B.hi[..., None, :, :]
+    b_l = B.lo[..., None, :, :]
+    p, e = _two_prod(a_h, b_h)
+    e = e + (a_h * b_l + a_l * b_h)
+    # sum over the contraction axis with two_sum accumulation
+    K = p.shape[-2]
+    s = DFM(p[..., 0, :], e[..., 0, :])
+    for k in range(1, K):
+        s = df_add(s, DFM(p[..., k, :], e[..., k, :]))
+    return s
+
+
+def df_bT(A: DFM) -> DFM:
+    return DFM(jnp.swapaxes(A.hi, -1, -2), jnp.swapaxes(A.lo, -1, -2))
+
+
+def df_segment_sum(vals: DFM, ids, num_segments) -> DFM:
+    """Segment-sum with double-float accumulation.
+
+    jax.ops.segment_sum rounds every partial sum to f32; assembling a
+    pose-graph Hessian that way perturbs T by ~1e-7 relative, which the
+    chain's kappa ~ N^2 amplifies to an O(1) solve error (measured:
+    step error growing as 1/lambda in the LM tail). This version sorts
+    contributions by segment and runs a segmented associative scan whose
+    combiner is df_add — the id-gated combiner is associative on sorted
+    ids — then scatters each segment's last (= total) prefix exactly
+    (one contribution per segment).
+    """
+    ids = ids.astype(jnp.int32)
+    order = jnp.argsort(ids)
+    sid = ids[order]
+    hi = vals.hi[order]
+    lo = vals.lo[order]
+    extra = (1,) * (hi.ndim - 1)
+
+    def comb(a, b):
+        a_hi, a_lo, a_id = a
+        b_hi, b_lo, b_id = b
+        same = (a_id == b_id).reshape(a_id.shape + extra)
+        s = df_add(
+            DFM(jnp.where(same, a_hi, 0.0), jnp.where(same, a_lo, 0.0)),
+            DFM(b_hi, b_lo),
+        )
+        return s.hi, s.lo, b_id
+
+    h, l, _ = jax.lax.associative_scan(comb, (hi, lo, sid), axis=0)
+    last = jnp.concatenate(
+        [sid[:-1] != sid[1:], jnp.ones((1,), bool)]
+    ).reshape(sid.shape + extra)
+    shape = (num_segments,) + hi.shape[1:]
+    out_hi = jnp.zeros(shape, hi.dtype).at[sid].add(jnp.where(last, h, 0.0))
+    out_lo = jnp.zeros(shape, lo.dtype).at[sid].add(jnp.where(last, l, 0.0))
+    return DFM(out_hi, out_lo)
+
+
+def df_matmul(A: DFM, B: DFM) -> DFM:
+    """(...,M,K) @ (...,K,N) with log-tree df reduction over K.
+
+    For wider contractions than df_bmm's unrolled D=3 loop (dense base
+    Newton polish, capacitance refinement). Materializes the (...,M,K,N)
+    product tensor — use only for small dense blocks.
+    """
+    a_h = A.hi[..., :, :, None]
+    a_l = A.lo[..., :, :, None]
+    b_h = B.hi[..., None, :, :]
+    b_l = B.lo[..., None, :, :]
+    p, e = _two_prod(a_h, b_h)
+    e = e + (a_h * b_l + a_l * b_h)
+    K = p.shape[-2]
+    P2 = 1 << max(K - 1, 0).bit_length()
+    if P2 != K:
+        pad = [(0, 0)] * (p.ndim - 2) + [(0, P2 - K), (0, 0)]
+        p = jnp.pad(p, pad)
+        e = jnp.pad(e, pad)
+    s = DFM(p, e)
+    while s.hi.shape[-2] > 1:
+        h = s.hi.shape[-2] // 2
+        s = df_add(
+            DFM(s.hi[..., :h, :], s.lo[..., :h, :]),
+            DFM(s.hi[..., h:, :], s.lo[..., h:, :]),
+        )
+    return DFM(s.hi[..., 0, :], s.lo[..., 0, :])
+
+
+def df_inv3(A: DFM) -> DFM:
+    """Batched 3x3 inverse via the adjugate, all in double-float."""
+    def el(i, j):
+        return DFM(A.hi[..., i, j], A.lo[..., i, j])
+
+    a, b, c = el(0, 0), el(0, 1), el(0, 2)
+    d, e, f = el(1, 0), el(1, 1), el(1, 2)
+    g, h, i = el(2, 0), el(2, 1), el(2, 2)
+
+    def m(x, y):
+        return df_mul(x, y)
+
+    A00 = df_sub(m(e, i), m(f, h))
+    A01 = df_sub(m(c, h), m(b, i))
+    A02 = df_sub(m(b, f), m(c, e))
+    A10 = df_sub(m(f, g), m(d, i))
+    A11 = df_sub(m(a, i), m(c, g))
+    A12 = df_sub(m(c, d), m(a, f))
+    A20 = df_sub(m(d, h), m(e, g))
+    A21 = df_sub(m(b, g), m(a, h))
+    A22 = df_sub(m(a, e), m(b, d))
+    det = df_add(df_add(m(a, A00), m(b, A10)), m(c, A20))
+    one = DFM(jnp.ones_like(det.hi), jnp.zeros_like(det.hi))
+    inv_det = df_div(one, det)  # one division, then 9 multiplies
+
+    rows = [[A00, A01, A02], [A10, A11, A12], [A20, A21, A22]]
+    cells = [[df_mul(rows[r][cc], inv_det) for cc in range(3)]
+             for r in range(3)]
+    out_h = jnp.stack(
+        [jnp.stack([cells[r][cc].hi for cc in range(3)], -1)
+         for r in range(3)], -2
+    )
+    out_l = jnp.stack(
+        [jnp.stack([cells[r][cc].lo for cc in range(3)], -1)
+         for r in range(3)], -2
+    )
+    return DFM(out_h, out_l)

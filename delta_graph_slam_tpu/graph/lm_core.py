@@ -40,6 +40,11 @@ class SolverConfig:
     chain_offrank_capacity: int = 128
     chain_base_blocks: int = 16
     chain_refine_steps: int = 0
+    # "df" runs the BCR elimination in double-float (two-f32): a SLAM
+    # chain has kappa ~ N^2, so f32 elimination produces garbage steps
+    # at production sizes once LM's lambda gets small (measured 272%
+    # step error at 4k nodes). "f32" is only safe for small graphs.
+    chain_precision: str = "df"
 
 
 class SolverStats(NamedTuple):
@@ -48,6 +53,10 @@ class SolverStats(NamedTuple):
     iterations: jnp.ndarray
     lambda_final: jnp.ndarray
     num_active_edges: jnp.ndarray
+    # chain backend: active off-chain edges beyond the Woodbury capacity
+    # (0 elsewhere). Non-zero means the solve dropped couplings — pass a
+    # bigger off_hint / chain_offrank_capacity (ADVICE r2).
+    n_offchain_dropped: jnp.ndarray = None
 
 
 def bmm(a, b):
@@ -255,6 +264,7 @@ def lm_optimize(linearize_fn, chi2_fn, apply_fn, state0, free, cfg: SolverConfig
                 K_cap=cfg.chain_offrank_capacity,
                 base_blocks=cfg.chain_base_blocks,
                 refine_steps=cfg.chain_refine_steps,
+                precision=cfg.chain_precision,
             )
         else:
             Db = diag_blocks(sys, N)
@@ -293,11 +303,18 @@ def lm_optimize(linearize_fn, chi2_fn, apply_fn, state0, free, cfg: SolverConfig
         jnp.asarray(0, jnp.int32), jnp.asarray(False),
     )
     state, _, lam, nu, chi2, iters, _ = jax.lax.while_loop(cond, lm_step, init)
+    if cfg.backend == "chain":
+        from .chain_solve import offchain_overflow
+
+        n_drop = offchain_overflow(sys0, free, cfg.chain_offrank_capacity)
+    else:
+        n_drop = jnp.asarray(0, jnp.int32)
     stats = SolverStats(
         chi2_initial=chi2_0,
         chi2_final=chi2,
         iterations=jnp.where(skip, -1, iters),
         lambda_final=lam,
         num_active_edges=nact,
+        n_offchain_dropped=n_drop,
     )
     return state, stats

@@ -173,6 +173,20 @@ class SE2GraphBuilder:
             np.asarray(info, self.dtype).reshape(()), level, kernel, delta
         )
 
+    def count_offchain(self, level=0):
+        """Host-side count of off-chain couplings at a level: binary se2
+        edges spanning non-adjacent, non-fixed vertices (loop closures,
+        de-overlap pairs). Feeds optimize_se2's off_hint so the chain
+        backend's Woodbury capacity is bucketed to the real need."""
+        n = 0
+        for e in self.edges:
+            if e["type"] != "se2" or e["level"] != level:
+                continue
+            i, j = e["i"], e["j"]
+            if abs(i - j) > 1 and not self.fixed[i] and not self.fixed[j]:
+                n += 1
+        return n
+
     def remove_edge(self, eid):
         for e in self.edges:
             if e["id"] == eid:

@@ -12,6 +12,9 @@ import jax
 import jax.numpy as jnp
 
 from ..geom.se2 import normalize_angle
+from ..geom.dfloat import (
+    DF, df_add_small, df_diff, df_normalize_angle, df_value,
+)
 from .lm_core import (
     SolverConfig,
     SolverStats,
@@ -27,26 +30,38 @@ from .se2_graph import (
     se2_prior_yaw_error,
 )
 
-def _se2_edge_err_jac(pi, pj, meas):
-    """Vectorized residual + analytic jacobians of se2_edge_error.
+def _se2_edge_err_jac(pih, pil, pjh, pjl, meas, with_jac=True):
+    """Vectorized residual + analytic jacobians of se2_edge_error on the
+    double-float pose state (geom/dfloat.py).
 
     Closed form instead of vmapped jacfwd: the jacobian is a couple of
     rotations, so the analytic version is ~3x fewer ops on the solver's
     per-iteration hot path. e_xy = R(-th_m)(R(-th_i)(tj-ti) - t_m),
     d e_xy/d th_i = R(-th_m) [ty, -tx], d/d t_i = -R(-th_m)R(-th_i).
+
+    Precision: the pose differences use both DF limbs (hi_j - hi_i is
+    Sterbenz-exact for nearby poses, the lo difference restores the
+    sub-ulp bits); cos/sin take a first-order lo correction. Everything
+    downstream (jacobians, weights) is plain f32 — those errors are not
+    amplified by cancellation.
     """
-    dtype = pi.dtype
-    E = pi.shape[0]
-    ci, si = jnp.cos(pi[:, 2]), jnp.sin(pi[:, 2])
-    dx = pj[:, 0] - pi[:, 0]
-    dy = pj[:, 1] - pi[:, 1]
+    dtype = pih.dtype
+    E = pih.shape[0]
+    dx = (pjh[:, 0] - pih[:, 0]) + (pjl[:, 0] - pil[:, 0])
+    dy = (pjh[:, 1] - pih[:, 1]) + (pjl[:, 1] - pil[:, 1])
+    dth = (pjh[:, 2] - pih[:, 2]) + (pjl[:, 2] - pil[:, 2])
+    ch, sh = jnp.cos(pih[:, 2]), jnp.sin(pih[:, 2])
+    ci = ch - pil[:, 2] * sh
+    si = sh + pil[:, 2] * ch
     tx = ci * dx + si * dy
     ty = -si * dx + ci * dy
     cm, sm = jnp.cos(meas[:, 2]), jnp.sin(meas[:, 2])
     ex = cm * (tx - meas[:, 0]) + sm * (ty - meas[:, 1])
     ey = -sm * (tx - meas[:, 0]) + cm * (ty - meas[:, 1])
-    eth = normalize_angle(pj[:, 2] - pi[:, 2] - meas[:, 2])
+    eth = normalize_angle(dth - meas[:, 2])
     err = jnp.stack([ex, ey, eth], axis=1)
+    if not with_jac:
+        return err, None, None
 
     # A = R(-th_m) R(-th_i)
     a00 = cm * ci - sm * si
@@ -82,35 +97,33 @@ def _yaw_jac(pi, meas):
     return jnp.zeros((E, 1, 3), pi.dtype).at[:, 0, 2].set(1.0)
 
 
-def _edge_families(graph: SE2Graph, poses, level, with_jac):
+def _edge_families(graph: SE2Graph, state: DF, level, with_jac):
+    hi, lo = state
     e = graph.edges
-    pi, pj = poses[e.i], poses[e.j]
-    if with_jac:
-        r, Ji, Jj = _se2_edge_err_jac(pi, pj, e.meas)
-    else:
-        r = jax.vmap(se2_edge_error)(pi, pj, e.meas)
-        Ji, Jj = None, None
+    r, Ji, Jj = _se2_edge_err_jac(
+        hi[e.i], lo[e.i], hi[e.j], lo[e.j], e.meas, with_jac
+    )
     act = e.mask & (e.level == level)
     yield e.i, e.j, r, Ji, Jj, e.info, act, e.kernel, e.delta, 3
 
     p = graph.priors_xy
-    r = jax.vmap(se2_prior_xy_error)(poses[p.i], p.meas)
-    Ji = _xy_jac(poses[p.i], p.meas) if with_jac else None
+    r = (hi[p.i, :2] - p.meas) + lo[p.i, :2]
+    Ji = _xy_jac(hi[p.i], p.meas) if with_jac else None
     act = p.mask & (p.level == level)
     yield p.i, p.i, r, Ji, None, p.info, act, p.kernel, p.delta, 2
 
     q = graph.priors_yaw
-    r = jax.vmap(se2_prior_yaw_error)(poses[q.i], q.meas)
-    Ji = _yaw_jac(poses[q.i], q.meas) if with_jac else None
+    r = normalize_angle((hi[q.i, 2] - q.meas) + lo[q.i, 2])[:, None]
+    Ji = _yaw_jac(hi[q.i], q.meas) if with_jac else None
     act = q.mask & (q.level == level)
     yield q.i, q.i, r, Ji, None, q.info.reshape(-1, 1, 1), act, q.kernel, q.delta, 1
 
 
-def _chi2(graph: SE2Graph, poses, level):
-    total = jnp.asarray(0.0, poses.dtype)
+def _chi2(graph: SE2Graph, state: DF, level):
+    total = jnp.asarray(0.0, state.hi.dtype)
     nact = jnp.asarray(0, jnp.int32)
     for i, j, r, _, _, info, act, kern, delta, dim in _edge_families(
-        graph, poses, level, with_jac=False
+        graph, state, level, with_jac=False
     ):
         rr = r.reshape(r.shape[0], dim)
         ii = info.reshape(-1, dim, dim)
@@ -121,11 +134,11 @@ def _chi2(graph: SE2Graph, poses, level):
     return total, nact
 
 
-def _linearize(graph: SE2Graph, poses, level):
+def _linearize(graph: SE2Graph, state: DF, level):
     parts = []
-    chi2 = jnp.asarray(0.0, poses.dtype)
+    chi2 = jnp.asarray(0.0, state.hi.dtype)
     for i, j, r, Ji, Jj, info, act, kern, delta, dim in _edge_families(
-        graph, poses, level, with_jac=True
+        graph, state, level, with_jac=True
     ):
         rr = r.reshape(r.shape[0], dim)
         ii = info.reshape(-1, dim, dim)
@@ -161,22 +174,25 @@ def _make_optimize(cfg: SolverConfig):
     def opt(graph: SE2Graph, level):
         free = _free_mask(graph, level)
 
-        def linearize_fn(poses):
-            return _linearize(graph, poses, level)
+        def linearize_fn(state):
+            return _linearize(graph, state, level)
 
-        def chi2_fn(poses):
-            return _chi2(graph, poses, level)
+        def chi2_fn(state):
+            return _chi2(graph, state, level)
 
-        def apply_fn(poses, dx):
-            out = poses + dx
-            return out.at[:, 2].set(normalize_angle(out[:, 2]))
+        def apply_fn(state, dx):
+            out = df_add_small(state, dx)
+            th = df_normalize_angle(DF(out.hi[:, 2], out.lo[:, 2]))
+            return DF(out.hi.at[:, 2].set(th.hi), out.lo.at[:, 2].set(th.lo))
 
         n_total = (jnp.sum(graph.edges.mask) + jnp.sum(graph.priors_xy.mask)
                    + jnp.sum(graph.priors_yaw.mask))
-        return lm_optimize(
-            linearize_fn, chi2_fn, apply_fn, graph.poses, free, cfg,
+        state0 = DF(graph.poses, jnp.zeros_like(graph.poses))
+        state, stats = lm_optimize(
+            linearize_fn, chi2_fn, apply_fn, state0, free, cfg,
             n_edges_total=n_total,
         )
+        return df_value(state), stats
 
     return opt
 
@@ -184,13 +200,29 @@ def _make_optimize(cfg: SolverConfig):
 _OPT_CACHE = {}
 
 
-def optimize_se2(graph: SE2Graph, level=0, config: SolverConfig = None):
+def optimize_se2(graph: SE2Graph, level=0, config: SolverConfig = None,
+                 off_hint=None):
     """Optimize the graph at the given level; returns (poses, SolverStats).
 
     Mirrors GraphSLAM::optimize(num_iterations, level)
     (graph_slam.cpp:338-352) including the <min_edges skip.
+
+    off_hint: host-known count of off-chain edges (loop closures etc.)
+    for the chain backend. The Woodbury capacity is bucketed to the next
+    power of two >= the hint — small graphs stop paying for 128 slots,
+    and graphs with MORE off-chain edges than the configured capacity
+    are solved with an enlarged capacity instead of silently dropping
+    them (SolverStats.n_offchain_dropped reports any overflow).
     """
+    import dataclasses as _dc
+
     config = config or SolverConfig()
+    if off_hint is not None and config.backend == "chain":
+        k = 8
+        while k < off_hint:
+            k *= 2
+        if k != config.chain_offrank_capacity:
+            config = _dc.replace(config, chain_offrank_capacity=k)
     if config not in _OPT_CACHE:
         _OPT_CACHE[config] = jax.jit(_make_optimize(config))
     return _OPT_CACHE[config](graph, jnp.asarray(level, jnp.int32))

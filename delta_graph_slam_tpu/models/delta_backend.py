@@ -500,7 +500,10 @@ class DeltaBackend:
             max_iterations=min(self.cfg.solver.max_iterations,
                                self.cfg.g2o_solver_num_iterations),
         )
-        poses, stats = optimize_se2(g, level=level, config=cfg)
+        off_hint = (self.graph.count_offchain(level)
+                    if cfg.backend == "chain" else None)
+        poses, stats = optimize_se2(g, level=level, config=cfg,
+                                    off_hint=off_hint)
         self.graph.update_poses(np.asarray(poses))
         return stats
 
