@@ -220,6 +220,9 @@ def optimize_se2(graph: SE2Graph, level=0, config: SolverConfig = None,
     if off_hint is not None and config.backend == "chain":
         k = 8
         while k < off_hint:
+            if (k // 2) * 3 >= off_hint:
+                k = (k // 2) * 3
+                break
             k *= 2
         if k != config.chain_offrank_capacity:
             config = _dc.replace(config, chain_offrank_capacity=k)

@@ -366,6 +366,46 @@ class LineBasedScanmatcher:
         return self._local_fn(src_lines, target_lines, se, te, False,
                               float(max_range))
 
+    def align_local_batch(self, src_stack: LineSegments,
+                          tgt_stack: LineSegments, Ts, Tt,
+                          max_range=0.5) -> BestFitAlignment:
+        """Batched align_local: B (building, scan) pairs in ONE dispatch.
+
+        The reference runs align_local once per (keyframe x near
+        building) per cycle (delta_graph_slam_nodelet.cpp:687); issuing
+        those as separate device programs costs a host sync each (~5 ms
+        RTT on the tunnel), which serializes into seconds per cycle at
+        city density. Here the line sets are stacked on a leading batch
+        axis, the per-pair frame transforms Ts/Tt (B,4,4) are applied
+        in-program, and edge extraction + alignment vmap across pairs.
+        Padded pairs (mask all-False lines) return identity transforms.
+        """
+        if not hasattr(self, "_local_batch_fn"):
+            cfg = self.cfg
+            core = _make_align_fn(cfg, is_local=True)
+
+            def one(src, tgt, ts, tt, rng):
+                src = transform_lines(src, ts)
+                tgt = transform_lines(tgt, tt)
+                se = edge_extraction(
+                    src, only_angular_edges=True,
+                    max_dist_angular_edge=0.01, capacity=cfg.edge_capacity,
+                )
+                te = edge_extraction(
+                    tgt, only_angular_edges=True,
+                    max_dist_angular_edge=7.0,
+                    capacity=cfg.target_edge_capacity,
+                )
+                return core(src, tgt, se, te, False, rng)
+
+            self._local_batch_fn = jax.jit(
+                jax.vmap(one, in_axes=(0, 0, 0, 0, None))
+            )
+        return self._local_batch_fn(
+            src_stack, tgt_stack, jnp.asarray(Ts, src_stack.a.dtype),
+            jnp.asarray(Tt, src_stack.a.dtype), float(max_range),
+        )
+
     def align_overlapped_buildings(self, lines_a: LineSegments, pose_a,
                                    lines_b: LineSegments, pose_b):
         """pose_a/pose_b: (3,) SE2 estimates of the buildings.

@@ -389,11 +389,21 @@ class DeltaBackend:
 
     # --------------------------------------------------- building updates
     def update_building_nodes(self) -> bool:
+        """Per-cycle keyframe<->building constraints (delta:639-737).
+
+        The per-pair align_local calls are batched into ONE device
+        dispatch (frame transforms applied in-program): the reference's
+        sequential loop shape (:687) costs a host round-trip per pair,
+        which at city density (dozens of buildings in 35 m) serializes
+        into seconds per cycle on a remote device. The pair count is
+        bucketed to a power of two so cycles reuse compiled programs.
+        """
         if not self.cfg.enable_buildings or not self.new_keyframes:
             return False
         updated = False
         odom2map = self.trans_odom2map
-        poses = self.poses
+
+        pairs = []
         for idx, kf in enumerate(self.new_keyframes):
             # skip very first keyframe of the run (:652-656)
             if not self.keyframes and idx == 0:
@@ -405,20 +415,49 @@ class DeltaBackend:
             for b in kf.near_buildings:
                 bpose3d = transform_2d_to_3d_np(b.pose)
                 bpose_inv = np.linalg.inv(bpose3d)
-                blines = transform_lines(b.lines, bpose_inv)
-                klines = transform_lines(
-                    kf.global_alignment.not_aligned_lines,
-                    bpose_inv @ odom3d,
+                pairs.append((kf, b, odom, bpose_inv, bpose_inv @ odom3d))
+
+        if pairs:
+            caps = {p[1].lines.a.shape[0] for p in pairs}
+            assert len(caps) == 1, (
+                "align_local_batch needs a uniform building line capacity; "
+                f"got {sorted(caps)} (provider must pad to one capacity)"
+            )
+            B = len(pairs)
+            P = 1 << max(B - 1, 0).bit_length()
+            empty = pairs[0][1].lines._replace(
+                mask=jnp.zeros_like(pairs[0][1].lines.mask)
+            )
+            empty_k = pairs[0][0].global_alignment.not_aligned_lines._replace(
+                mask=jnp.zeros_like(
+                    pairs[0][0].global_alignment.not_aligned_lines.mask
                 )
-                with self.timer.stage("align_local"):
-                    res = self.scanmatcher.align_local(blines, klines, 0.5)
-                T = np.asarray(res.transformation)
+            )
+            src_list = [p[1].lines for p in pairs] + [empty] * (P - B)
+            tgt_list = ([p[0].global_alignment.not_aligned_lines
+                         for p in pairs] + [empty_k] * (P - B))
+            Ts = np.stack([p[3] for p in pairs]
+                          + [np.eye(4)] * (P - B)).astype(np.float32)
+            Tt = np.stack([p[4] for p in pairs]
+                          + [np.eye(4)] * (P - B)).astype(np.float32)
+            stack = lambda lst: jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *lst
+            )
+            with self.timer.stage("align_local"):
+                res = self.scanmatcher.align_local_batch(
+                    stack(src_list), stack(tgt_list), Ts, Tt, 0.5
+                )
+                T_all = np.asarray(res.transformation)
+            avg_d = np.asarray(res.fitness.avg_distance)
+            cov = np.asarray(res.fitness.coverage_percentage)
+            edge_al = np.asarray(res.is_edge_aligned)
+
+            for k, (kf, b, odom, _, _) in enumerate(pairs):
+                T = T_all[k]
                 if np.allclose(T, np.eye(4), atol=1e-9):
                     continue
                 info = self.inf_calculator.calc_information_matrix_buildings_local(
-                    float(res.fitness.avg_distance),
-                    float(res.fitness.coverage_percentage),
-                    bool(res.is_edge_aligned),
+                    float(avg_d[k]), float(cov[k]), bool(edge_al[k])
                 )
                 trans2d = _se2_of(T)
                 # relpose keyframe -> (building.pose * trans) (:700-703)
@@ -431,7 +470,12 @@ class DeltaBackend:
                 )
                 updated = True
 
-            # global-alignment position/yaw priors (:710-727)
+        # global-alignment position/yaw priors (:710-727)
+        for idx, kf in enumerate(self.new_keyframes):
+            if not self.keyframes and idx == 0:
+                break
+            if kf.global_alignment is None or not kf.near_buildings:
+                continue
             ga = kf.global_alignment
             if float(ga.fitness.coverage) < 35.0:
                 continue

@@ -43,6 +43,12 @@ class RegistrationConfig:
     # 'auto' resolves dense on TPU, knn elsewhere.
     cov_method: str = "auto"
     cov_dense_radius: float = 1.0
+    # Reuse correspondences for this many GN iterations before re-running
+    # the candidate search (fast_gicp-style): the voxel-window NN scan is
+    # the dominant per-iteration cost at 32k points, while the distance
+    # gates are still re-evaluated at the current transform every
+    # iteration. 1 = search every iteration (reference semantics).
+    nn_reuse: int = 1
 
     @property
     def head(self) -> str:

@@ -146,7 +146,14 @@ def _ndt_gauss_d2(resolution, outlier_ratio):
     return d2
 
 
-def _make_correspondence_fn(cfg: RegistrationConfig):
+def _make_correspondence_fns(cfg: RegistrationConfig):
+    """(find, eval) pair: ``find`` runs the expensive candidate search
+    (voxel-window NN scan / hash lookup) and returns a compact index
+    state; ``eval`` turns that state + the current transform into
+    residuals. Splitting them lets the GN loop reuse correspondences
+    across iterations (cfg.nn_reuse) — the fast_gicp-style optimization
+    where only every k-th iteration pays for the search while the
+    distance gates are still re-evaluated at the current transform."""
     head = cfg.head
     max_d2 = cfg.max_correspondence_distance**2
     offsets = _neighbor_offsets(cfg.neighbor_offsets)
@@ -154,7 +161,7 @@ def _make_correspondence_fn(cfg: RegistrationConfig):
 
     nn_offsets = _neighbor_offsets(cfg.nn_voxel_cells)
 
-    def corr(T, src: SourceModel, tgt: TargetModel):
+    def find(T, src: SourceModel, tgt: TargetModel):
         R = T[:3, :3]
         p = jnp.matmul(src.points, R.T, precision=_HI) + T[:3, 3]
         if head in ("icp", "gicp"):
@@ -165,12 +172,21 @@ def _make_correspondence_fn(cfg: RegistrationConfig):
                     tgt.vh, p, src.mask, nn_offsets,
                     window=cfg.nn_voxel_window, max_d2=max_d2,
                 )
-                valid = ok & src.mask
-            else:
-                d2, j = nn_1(p, src.mask, tgt.points, tgt.mask, chunk=cfg.chunk)
-                valid = src.mask & jnp.isfinite(d2) & (d2 < max_d2)
+                return j, ok
+            d2, j = nn_1(p, src.mask, tgt.points, tgt.mask, chunk=cfg.chunk)
+            return j, jnp.isfinite(d2)
+        slot, hit = voxel_lookup(tgt.vh, p, src.mask, offsets=offsets)
+        return slot, hit
+
+    def evaluate(T, st, src: SourceModel, tgt: TargetModel):
+        R = T[:3, :3]
+        p = jnp.matmul(src.points, R.T, precision=_HI) + T[:3, 3]
+        if head in ("icp", "gicp"):
+            j, ok = st
             q = tgt.points[j]
             r = p - q
+            d2 = jnp.sum(r * r, axis=-1)
+            valid = ok & src.mask & (d2 < max_d2)
             if head == "icp":
                 M = jnp.broadcast_to(jnp.eye(3, dtype=p.dtype), r.shape + (3,))
             else:
@@ -178,7 +194,7 @@ def _make_correspondence_fn(cfg: RegistrationConfig):
                 M = inv3x3(tgt.covs[j] + Ca)
             return p, r, M, valid
         # voxel heads: K = N * n_offsets residuals
-        slot, hit = voxel_lookup(tgt.vh, p, src.mask, offsets=offsets)
+        slot, hit = st
         n, m = slot.shape
         slot_f = slot.reshape(-1)
         hit_f = hit.reshape(-1)
@@ -200,24 +216,26 @@ def _make_correspondence_fn(cfg: RegistrationConfig):
             M = inv3x3(tgt.voxel_covs[slot_f] + Ca_rep)
         return p_rep, r, M, valid
 
-    return corr
+    return find, evaluate
 
 
 def _make_align_fn(cfg: RegistrationConfig):
-    corr = _make_correspondence_fn(cfg)
+    find, evaluate = _make_correspondence_fns(cfg)
     eps2 = cfg.transformation_epsilon**2
     lam = cfg.lm_lambda
+    reuse = max(int(cfg.nn_reuse), 1)
 
     def align(src: SourceModel, tgt: TargetModel, guess):
         T0 = jnp.asarray(guess, src.points.dtype)
+        st0 = find(T0, src, tgt)
 
         def cond(state):
-            _, done, iters = state
+            _, done, iters, _ = state
             return (~done) & (iters < cfg.maximum_iterations)
 
         def body(state):
-            T, done, iters = state
-            p, r, M, valid = corr(T, src, tgt)
+            T, done, iters, st = state
+            p, r, M, valid = evaluate(T, st, src, tgt)
             H, b, _ = _normal_equations(p, r, M, valid)
             H = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=H.dtype)
             delta = -jnp.linalg.solve(H, b)
@@ -225,15 +243,26 @@ def _make_align_fn(cfg: RegistrationConfig):
             delta = jnp.where(step_ok, delta, jnp.zeros_like(delta))
             T = se3_exp(delta) @ T
             done = jnp.sum(delta * delta) < eps2
-            return T, done, iters + 1
+            if reuse > 1:
+                st = jax.lax.cond(
+                    ((iters + 1) % reuse) == 0,
+                    lambda args: find(args[0], src, tgt),
+                    lambda args: args[1],
+                    (T, st),
+                )
+            else:
+                st = find(T, src, tgt)
+            return T, done, iters + 1, st
 
         # while_loop: converged scans exit early instead of burning the
         # full iteration budget on redundant NN passes
-        T, done, iters = jax.lax.while_loop(
-            cond, body, (T0, jnp.asarray(False), jnp.asarray(0, jnp.int32)),
+        T, done, iters, _ = jax.lax.while_loop(
+            cond, body, (T0, jnp.asarray(False), jnp.asarray(0, jnp.int32),
+                         st0),
         )
-        # final stats at the solution
-        p, r, M, valid = corr(T, src, tgt)
+        # final stats at the solution (fresh correspondences)
+        st = find(T, src, tgt)
+        p, r, M, valid = evaluate(T, st, src, tgt)
         w = valid.astype(p.dtype)
         ncorr = jnp.sum(valid)
         cnt = jnp.maximum(ncorr.astype(p.dtype), 1.0)

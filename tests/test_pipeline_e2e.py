@@ -330,7 +330,11 @@ class TestLoopClosure:
         m = pipe.evaluate()
         assert m is not None and m["ATE_mean"] < 0.5, m
 
+    @pytest.mark.slow
     def test_loop_closure_improves_ate(self):
+        # slow: ~1 min of XLA-CPU compiles; the fast gate keeps loop
+        # gating covered via test_loop_detector and the lap e2e runs in
+        # the nightly slow suite.
         """Controlled drift: feed the backend keyframe odometry with an
         injected random-walk bias; the run with loop closure enabled must
         beat the run without it on final ATE."""
