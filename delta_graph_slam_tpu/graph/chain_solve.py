@@ -156,6 +156,107 @@ def assemble_tridiag_df(sys: LinSys, N, free, lam, chain_mask):
     return A, B
 
 
+def assemble_tridiag_df_chain(sys: LinSys, N, free, lam, chain_mask,
+                              n_chain):
+    """Shift-based df assembly for the chain-first edge layout.
+
+    Contract (SE2GraphBuilder.to_arrays(chain_first=True)): table rows
+    [0..n_chain-1] hold the consecutive odometry edges, row k connecting
+    vertices {k, k+1} in either stored orientation (the delta backend
+    stores them reversed, new->prev; inactive slots have W=0 — exact
+    no-ops). The tridiagonal then assembles with pure concatenation
+    shifts:
+
+        A[v] += blk(v), A[v+1] += blk(v+1),  B[v+1] = T[v+1, v]
+
+    — no scatters at all for the chain, which was the dominant
+    per-iteration cost of the general path (the digit-channel
+    df_segment_sum runs 6 scatter passes over 2E items; measured ~5 ms
+    of a 9.8 ms LM iteration at 4k nodes on TPU v5e). The few remaining
+    rows (loops, priors-as-unary, de-overlap) still go through the
+    exact scatter path, but over E - n_chain items only.
+    """
+    from .df_linalg import DFM, df_add, df_bT, df_bmm, df_segment_sum, dfm
+
+    D = free.shape[1]
+    dtype = free.dtype
+    nc = n_chain
+
+    def seg(x):
+        return x[:nc]
+
+    Jic, Jjc, Wc = dfm(seg(sys.Ji)), dfm(seg(sys.Jj)), dfm(seg(sys.W))
+    WJi = df_bmm(Wc, Jic)
+    WJj = df_bmm(Wc, Jjc)
+    JiT, JjT = df_bT(Jic), df_bT(Jjc)
+    Hii = df_bmm(JiT, WJi)            # at vertex i
+    Hjj = df_bmm(JjT, WJj)            # at vertex j
+    Hij = df_bmm(JiT, WJj)            # block (i, j)
+
+    # orientation select: slot k stores (i=k, j=k+1) or (i=k+1, j=k).
+    # top lands at vertex k, bot at k+1; the sub-diagonal block
+    # T[k+1, k] is Hij^T for forward rows and Hij for reversed rows.
+    rev = (sys.i[:nc] > sys.j[:nc])[:, None, None]
+
+    def sel(R, F):
+        return DFM(jnp.where(rev, R.hi, F.hi), jnp.where(rev, R.lo, F.lo))
+
+    top = sel(Hjj, Hii)
+    bot = sel(Hii, Hjj)
+    HijT = df_bT(Hij)
+    sub = sel(Hij, HijT)
+
+    z1 = jnp.zeros((N - nc, D, D), dtype)
+    zb = jnp.zeros((1, D, D), dtype)
+
+    def cat_top(X):                    # (nc,..) -> (N,..) rows [0..nc-1]
+        return DFM(jnp.concatenate([X.hi, z1]),
+                   jnp.concatenate([X.lo, z1]))
+
+    def cat_bot(X):                    # (nc,..) -> (N,..) rows [1..nc]
+        pad = jnp.zeros((N - nc - 1, D, D), dtype)
+        return DFM(jnp.concatenate([zb, X.hi, pad]),
+                   jnp.concatenate([zb, X.lo, pad]))
+
+    A = df_add(cat_top(top), cat_bot(bot))
+    B = cat_bot(sub)
+
+    # remaining rows: loops / priors / unary-ized edges — exact scatter
+    # over the small tail only
+    if sys.i.shape[0] > nc:
+        rs = jnp.s_[nc:]
+        Jir, Jjr, Wr = dfm(sys.Ji[rs]), dfm(sys.Jj[rs]), dfm(sys.W[rs])
+        m = chain_mask[rs][:, None, None].astype(dtype)
+        WJir = df_bmm(Wr, Jir)
+        WJjr = df_bmm(Wr, Jjr)
+        JiTr, JjTr = df_bT(Jir), df_bT(Jjr)
+        Hiir = df_bmm(JiTr, WJir)
+        Hjjr = df_bmm(JjTr, WJjr)
+        Hijr = df_bmm(JiTr, WJjr)
+        both = DFM(jnp.concatenate([Hiir.hi * m, Hjjr.hi * m]),
+                   jnp.concatenate([Hiir.lo * m, Hjjr.lo * m]))
+        ids = jnp.concatenate([sys.i[rs], sys.j[rs]])
+        A = df_add(A, df_segment_sum(both, ids, N))
+
+        ir, jr = sys.i[rs], sys.j[rs]
+        sub_ok = (chain_mask[rs] & (jnp.abs(ir - jr) == 1))[:, None, None]
+        HijTr = df_bT(Hijr)
+        swap = (jr > ir)[:, None, None]
+        val = DFM(
+            jnp.where(swap, HijTr.hi, Hijr.hi) * sub_ok.astype(dtype),
+            jnp.where(swap, HijTr.lo, Hijr.lo) * sub_ok.astype(dtype),
+        )
+        B = df_add(B, df_segment_sum(val, jnp.maximum(ir, jr), N))
+
+    eye = jnp.eye(D, dtype=dtype)
+    fm = free[:, :, None] * free[:, None, :]
+    diag_extra = (1.0 - fm) * eye[None] + lam * free[:, :, None] * eye[None]
+    A = df_add(DFM(A.hi * fm, A.lo * fm), dfm(diag_extra))
+    bm = free[:, :, None] * jnp.roll(free, 1, axis=0)[:, None, :]
+    B = DFM((B.hi * bm).at[0].set(0.0), (B.lo * bm).at[0].set(0.0))
+    return A, B
+
+
 def _inv_dense(M):
     """Dense inverse that works in f64 on TPU.
 
@@ -386,13 +487,18 @@ def _offchain_compact(sys: LinSys, off_mask, K_cap):
 
 
 @partial(jax.jit, static_argnames=("N", "K_cap", "base_blocks",
-                                   "refine_steps", "precision"))
+                                   "refine_steps", "precision", "n_chain"))
 def chain_solve(sys: LinSys, b, free, lam, N, K_cap=128, base_blocks=64,
-                refine_steps=1, precision="df"):
+                refine_steps=1, precision="df", n_chain=0):
     """Direct solve (H + lam I) x = b. Returns (x (N,D), n_dropped).
 
     n_dropped > 0 means more off-chain edges than K_cap — the caller
     should re-dispatch with a bigger capacity (host-side bucketing).
+
+    n_chain > 0 opts into the chain-first fast path: table rows
+    [0..n_chain-1] are guaranteed to be the consecutive odometry edges
+    (row k <-> vertices (k, k+1); SE2GraphBuilder.to_arrays
+    chain_first=True). Assembly then uses shifts instead of scatters.
 
     precision="df" (default) runs the cyclic-reduction elimination in
     double-float (bcr_factor_df): an N-node chain has kappa ~ N^2, so
@@ -407,11 +513,11 @@ def chain_solve(sys: LinSys, b, free, lam, N, K_cap=128, base_blocks=64,
     """
     with jax.default_matmul_precision("highest"):
         return _chain_solve_impl(sys, b, free, lam, N, K_cap, base_blocks,
-                                 refine_steps, precision)
+                                 refine_steps, precision, n_chain)
 
 
 def _chain_solve_impl(sys, b, free, lam, N, K_cap, base_blocks,
-                      refine_steps, precision):
+                      refine_steps, precision, n_chain=0):
     K_cap = min(K_cap, sys.i.shape[0])  # tiny graphs: fewer edges than slots
     D = b.shape[1]
     dtype = b.dtype
@@ -422,7 +528,11 @@ def _chain_solve_impl(sys, b, free, lam, N, K_cap, base_blocks,
     if precision == "df":
         from .df_linalg import DFM
 
-        Ad, Bd = assemble_tridiag_df(sys, N, free, lam, chain_mask)
+        if n_chain:
+            Ad, Bd = assemble_tridiag_df_chain(sys, N, free, lam,
+                                               chain_mask, n_chain)
+        else:
+            Ad, Bd = assemble_tridiag_df(sys, N, free, lam, chain_mask)
         padA = jnp.broadcast_to(jnp.eye(D, dtype=dtype), (P - N, D, D))
         padZ = jnp.zeros((P - N, D, D), dtype)
         Ad = DFM(jnp.concatenate([Ad.hi, padA]),

@@ -45,6 +45,13 @@ class SolverConfig:
     # at production sizes once LM's lambda gets small (measured 272%
     # step error at 4k nodes). "f32" is only safe for small graphs.
     chain_precision: str = "df"
+    # > 0 opts into the chain-first edge-table layout
+    # (SE2GraphBuilder.to_arrays(chain_first=True)): rows [0..layout-1]
+    # are guaranteed to be the consecutive odometry edges (row k <->
+    # vertices (k, k+1)), letting gradient and tridiagonal assembly use
+    # shifts instead of scatters (the dominant per-iter cost at 4k+).
+    # Set via optimize_se2(..., n_chain=...); ONLY valid with that layout.
+    chain_layout: int = 0
 
 
 class SolverStats(NamedTuple):
@@ -111,11 +118,31 @@ def concat_sys(parts):
     return LinSys(*(jnp.concatenate([p[k] for p in parts]) for k in range(6)))
 
 
-def gradient(sys: LinSys, N):
-    """b = sum J^T W r, scattered per vertex. Returns (N,D)."""
+def gradient(sys: LinSys, N, n_chain=0):
+    """b = sum J^T W r, scattered per vertex. Returns (N,D).
+
+    n_chain > 0: rows [0..n_chain-1] follow the chain-first layout
+    (row k <-> vertices {k, k+1}, either stored orientation); their
+    contributions land via shifts instead of scatters (see
+    chain_solve.assemble_tridiag_df_chain)."""
     Wr = bmv(sys.W, sys.r)
     bi = bmv(jnp.swapaxes(sys.Ji, 1, 2), Wr)
     bj = bmv(jnp.swapaxes(sys.Jj, 1, 2), Wr)
+    if n_chain:
+        D = bi.shape[1]
+        # slot k may store the edge as (k, k+1) or reversed (k+1, k)
+        rev = (sys.i[:n_chain] > sys.j[:n_chain])[:, None]
+        top = jnp.where(rev, bj[:n_chain], bi[:n_chain])   # at vertex k
+        bot = jnp.where(rev, bi[:n_chain], bj[:n_chain])   # at vertex k+1
+        z = jnp.zeros((N - n_chain, D), bi.dtype)
+        z1 = jnp.zeros((1, D), bi.dtype)
+        b = jnp.concatenate([top, z])
+        b = b + jnp.concatenate([z1, bot,
+                                 jnp.zeros((N - n_chain - 1, D), bi.dtype)])
+        b = b + jax.ops.segment_sum(bi[n_chain:], sys.i[n_chain:],
+                                    num_segments=N)
+        return b + jax.ops.segment_sum(bj[n_chain:], sys.j[n_chain:],
+                                       num_segments=N)
     b = jax.ops.segment_sum(bi, sys.i, num_segments=N)
     return b + jax.ops.segment_sum(bj, sys.j, num_segments=N)
 
@@ -251,9 +278,11 @@ def lm_optimize(linearize_fn, chi2_fn, apply_fn, state0, free, cfg: SolverConfig
     # iteration runs exactly ONE linearize (at the trial point, whose
     # robust chi2 falls out for free) instead of linearize(state) +
     # a separate residual pass for chi2(trial).
+    n_chain = cfg.chain_layout if cfg.backend == "chain" else 0
+
     def lm_step(carry):
         state, sys, lam, nu, chi2, it, _ = carry
-        b = gradient(sys, N)
+        b = gradient(sys, N, n_chain=n_chain)
         if cfg.backend == "dense":
             dx = dense_solve(sys, -b, free, lam)
         elif cfg.backend == "chain":
@@ -265,6 +294,7 @@ def lm_optimize(linearize_fn, chi2_fn, apply_fn, state0, free, cfg: SolverConfig
                 base_blocks=cfg.chain_base_blocks,
                 refine_steps=cfg.chain_refine_steps,
                 precision=cfg.chain_precision,
+                n_chain=n_chain,
             )
         else:
             Db = diag_blocks(sys, N)

@@ -210,16 +210,52 @@ class SE2GraphBuilder:
                 return c3
             c *= 2
 
-    def to_arrays(self, v_capacity=None, e_capacity=None, dtype=None) -> SE2Graph:
+    def to_arrays(self, v_capacity=None, e_capacity=None, dtype=None,
+                  chain_first=False) -> SE2Graph:
+        """Pack to padded device tables.
+
+        chain_first: lay the se2 edge table out as
+        [vc-1 chain slots][rest] — slot k holds the odometry edge
+        between vertices {k, k+1} in either stored orientation (the
+        delta backend adds them reversed, new->prev, mirroring
+        delta_graph_slam_nodelet.cpp:570-571), or an inactive
+        placeholder; every other binary edge follows. The chain solver's
+        fast path (SolverConfig.chain_layout) then assembles the block
+        tridiagonal with pure shifts instead of scatters; the layout is
+        behavior-neutral for every other backend (row order never
+        affects the assembled system, and stored i/j/meas are untouched
+        so residuals are bit-identical).
+        """
         dtype = dtype or self.dtype
         nv = len(self.poses)
         vc = v_capacity or self._cap(nv)
         assert vc >= nv
 
+        chain_parts = None
+        if chain_first:
+            slot_of = {}
+            rest = []
+            for e in self.edges:
+                if e["type"] != "se2":
+                    continue
+                k = min(e["i"], e["j"])
+                if (abs(e["i"] - e["j"]) == 1 and k < vc - 1
+                        and k not in slot_of):
+                    slot_of[k] = e
+                else:
+                    rest.append(e)
+            chain_parts = (slot_of, rest)
+
         def pack(etype, jdim, mdim, idim):
             es = [e for e in self.edges if e["type"] == etype]
-            ec = e_capacity or self._cap(len(es))
-            ec = max(ec, self._cap(len(es)))
+            if chain_first and etype == "se2":
+                slot_of, rest = chain_parts
+                ec = (vc - 1) + max(
+                    self._cap(len(rest)), e_capacity or 0
+                )
+            else:
+                ec = e_capacity or self._cap(len(es))
+                ec = max(ec, self._cap(len(es)))
             i = np.zeros(ec, np.int32)
             j = np.zeros(ec, np.int32)
             meas = np.zeros((ec,) + mdim, dtype)
@@ -228,7 +264,18 @@ class SE2GraphBuilder:
             kern = np.zeros(ec, np.int32)
             delt = np.ones(ec, dtype)
             mask = np.zeros(ec, bool)
-            for k, e in enumerate(es):
+            if chain_first and etype == "se2":
+                # chain slots: row k <-> vertex pair (k, k+1), masked
+                # when absent (W=0 downstream: exact no-op)
+                i[: vc - 1] = np.arange(vc - 1)
+                j[: vc - 1] = np.arange(1, vc)
+                es = [slot_of.get(k) for k in range(vc - 1)] + rest
+                rows = [k for k, e in enumerate(es) if e is not None]
+            else:
+                rows = range(len(es))
+                es = [e for e in es]
+            for k in rows:
+                e = es[k]
                 i[k] = e["i"]
                 if jdim:
                     j[k] = e["j"]
@@ -247,7 +294,8 @@ class SE2GraphBuilder:
             sum(e["type"] == t for e in self.edges)
             for t in ("se2", "xy", "yaw")
         )
-        key = (vc, e_capacity,
+        key = (vc, e_capacity, chain_first,
+               self._cap(len(chain_parts[1])) if chain_first else None,
                tuple(max(e_capacity or 0, self._cap(c)) for c in counts),
                np.dtype(dtype).name)
         if key != self._cache_key:

@@ -201,7 +201,7 @@ _OPT_CACHE = {}
 
 
 def optimize_se2(graph: SE2Graph, level=0, config: SolverConfig = None,
-                 off_hint=None):
+                 off_hint=None, n_chain=0):
     """Optimize the graph at the given level; returns (poses, SolverStats).
 
     Mirrors GraphSLAM::optimize(num_iterations, level)
@@ -213,10 +213,17 @@ def optimize_se2(graph: SE2Graph, level=0, config: SolverConfig = None,
     and graphs with MORE off-chain edges than the configured capacity
     are solved with an enlarged capacity instead of silently dropping
     them (SolverStats.n_offchain_dropped reports any overflow).
+
+    n_chain: pass graph.poses.shape[0] - 1 when the graph was packed
+    with to_arrays(chain_first=True); the chain backend then assembles
+    the block tridiagonal and gradient with shifts instead of scatters.
     """
     import dataclasses as _dc
 
     config = config or SolverConfig()
+    if n_chain and config.backend == "chain" \
+            and n_chain != config.chain_layout:
+        config = _dc.replace(config, chain_layout=n_chain)
     if off_hint is not None and config.backend == "chain":
         k = 8
         while k < off_hint:

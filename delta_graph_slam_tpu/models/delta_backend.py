@@ -536,8 +536,10 @@ class DeltaBackend:
         if vc:
             while vc < len(self.graph.poses):
                 vc *= 2
+        chain = self.cfg.solver.backend == "chain"
         g = self.graph.to_arrays(
-            v_capacity=vc, e_capacity=self.cfg.solver_e_capacity or None
+            v_capacity=vc, e_capacity=self.cfg.solver_e_capacity or None,
+            chain_first=chain,
         )
         cfg = dataclasses.replace(
             self.cfg.solver,
@@ -546,8 +548,10 @@ class DeltaBackend:
         )
         off_hint = (self.graph.count_offchain(level)
                     if cfg.backend == "chain" else None)
-        poses, stats = optimize_se2(g, level=level, config=cfg,
-                                    off_hint=off_hint)
+        poses, stats = optimize_se2(
+            g, level=level, config=cfg, off_hint=off_hint,
+            n_chain=g.poses.shape[0] - 1 if chain else 0,
+        )
         self.graph.update_poses(np.asarray(poses))
         return stats
 

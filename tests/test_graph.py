@@ -501,8 +501,52 @@ class TestChainBackend:
         N = g.poses.shape[0]
         bvec = gradient(sysm, N)
         _, nd = chain_solve(sysm, -bvec, free, jnp.asarray(1e-4, np.float32),
-                            N, K_cap=2, base_blocks=8)
-        assert int(nd) > 0  # 5 lap loops don't fit 2 slots
+                            N, K_cap=1, base_blocks=8)
+        # the n=96 lap graph has 2 free-free lap loops ((20,68),(40,88);
+        # (0,48) is anchored on the fixed vertex) — they don't fit 1 slot
+        assert int(nd) == 1
+
+    def test_chain_first_layout_matches_generic(self):
+        """to_arrays(chain_first=True) + n_chain (the shift-based fast
+        assembly) must produce the same solve as the generic scatter
+        path — including REVERSED odometry-edge storage (the delta
+        backend adds them new->prev, delta_graph_slam_nodelet.cpp:570)
+        and interleaved non-chain vertices."""
+        rng = np.random.default_rng(5)
+        n = 48
+        b = SE2GraphBuilder()
+        info = np.diag([100.0, 100.0, 400.0])
+        gt = np.zeros((n, 3))
+        for k in range(1, n):
+            c, s = np.cos(gt[k-1, 2]), np.sin(gt[k-1, 2])
+            gt[k] = [gt[k-1, 0] + c, gt[k-1, 1] + s,
+                     gt[k-1, 2] + 2 * np.pi / (n // 2)]
+        for k in range(n):
+            b.add_vertex(gt[k] + (rng.normal(0, 0.05, 3) if k else 0),
+                         fixed=(k == 0))
+        for k in range(n - 1):
+            if k % 2:        # forward storage
+                b.add_se2_edge(k, k + 1, relpose(gt[k], gt[k + 1]), info)
+            else:            # reversed storage (delta convention)
+                b.add_se2_edge(k + 1, k, relpose(gt[k + 1], gt[k]), info)
+        for k in range(0, n // 2 - 1, 12):
+            b.add_se2_edge(k, k + n // 2, relpose(gt[k], gt[k + n // 2]),
+                           info, kernel="Huber", delta=1.0)
+        b.add_prior_xy(3, gt[3][:2], np.eye(2) * 10.0)
+        b.add_prior_yaw(5, gt[5][2], 25.0)
+
+        cfg = SolverConfig(backend="chain", max_iterations=30,
+                           chain_offrank_capacity=8, chain_base_blocks=8)
+        g0 = b.to_arrays()
+        p0, s0 = optimize_se2(g0, level=0, config=cfg)
+        g1 = b.to_arrays(chain_first=True)
+        p1, s1 = optimize_se2(g1, level=0, config=cfg,
+                              n_chain=g1.poses.shape[0] - 1)
+        assert abs(float(s1.chi2_final) - float(s0.chi2_final)) <= (
+            1e-4 * float(s0.chi2_final) + 1e-8
+        )
+        np.testing.assert_allclose(np.asarray(p1)[:n], np.asarray(p0)[:n],
+                                   atol=1e-4)
 
     def test_chain_level_masking_and_fixed(self):
         # level-2-style solve: big level-0 graph, tiny stiff level-2 edge
