@@ -37,19 +37,29 @@ import jax.numpy as jnp
 
 
 def _city(n_frames, speed=3.0):
-    from delta_graph_slam_tpu.io.kitti import synthetic_city_sequence
+    """Raycast workload (io/lidar_sim.py): occluded 64-beam scans with
+    range noise and dropout on the city trajectory — the honest stand-in
+    for real velodyne bags (no KITTI data ships in this container). The
+    uniform-density point-soup sampler flattered registration
+    convergence; headline numbers are measured on raycast geometry."""
+    from delta_graph_slam_tpu.io.lidar_sim import raycast_city_sequence
 
-    return synthetic_city_sequence(n_frames=n_frames, speed=speed)
+    return raycast_city_sequence(n_frames=n_frames, speed=speed)
 
 
-def _prefiltered_frames(frames, capacity=16384):
-    """Prefilter-scale clouds: voxel-thinned distinct scans (host-side,
-    untimed prep for the registration benchmarks)."""
+def _prefiltered_frames(frames, capacity=16384, seed=0):
+    """Prefilter-scale clouds (host-side, untimed prep for the
+    registration benchmarks). Raycast scans are beam-major, so a plain
+    [:capacity] truncation would keep only the top elevation rings — a
+    fixed permutation subsamples uniformly across beams instead."""
     from delta_graph_slam_tpu import ops
 
+    rng = np.random.default_rng(seed)
     out = []
     for fr in frames:
         pts = fr.points
+        if len(pts) > capacity:
+            pts = pts[rng.permutation(len(pts))[:capacity]]
         out.append(ops.make_cloud(pts[: capacity], capacity=capacity))
     return out
 
@@ -89,7 +99,11 @@ def bench_e2e(n_frames=36, warmup_frames=10):
     drain(warmup_frames + n_frames)
     dt = time.perf_counter() - t0
     pipe.finish()
-    return n_frames / dt, len(pipe.backend.keyframes)
+    stage_ms = {
+        k: round(v["mean_ms"], 1) if isinstance(v, dict) else round(v, 1)
+        for k, v in pipe.timing_summary().items()
+    }
+    return n_frames / dt, len(pipe.backend.keyframes), stage_ms
 
 
 def bench_registration(n_points=16384):
@@ -451,7 +465,7 @@ def main():
     cpu_lm_ms_16k, _, cpu_chi2_16k, cpu_ate_16k = bench_pose_graph_cpu(
         n_nodes=16384, max_iters=8
     )
-    e2e_sps, n_kf = bench_e2e()
+    e2e_sps, n_kf, stage_ms = bench_e2e()
     (odo_sps, n_swaps, err_t, aligned_single, aligned_best,
      conv_rate) = bench_registration()
     lm_ms, lm_iters, lm_chi2, lm_ate = bench_pose_graph()
@@ -469,7 +483,10 @@ def main():
         "baseline_is_estimated": True,
         "baseline_estimate_source": "reference README.md:29 (0.1x replay)",
         "platform": platform,
+        "workload": "raycast_city (io/lidar_sim.py: occluded 64-beam "
+                    "scans, range noise, dropout)",
         "e2e_keyframes": n_kf,
+        "e2e_stage_ms": stage_ms,
         "odometry_scans_per_sec": round(odo_sps, 2),
         "odometry_keyframe_swaps": n_swaps,
         "odometry_final_err_t_m": round(err_t, 4),

@@ -48,7 +48,12 @@ def _respawn():
     sys.exit(proc.returncode)
 
 
-def bench_sharded_lm(n_nodes=16384):
+def bench_sharded_lm(n_nodes=4096):
+    """Sharded direct solve (SPIKE chain, parallel/spike.py) vs the
+    single-chip chain solve on the CONVERGING 4k bench graph — the r2
+    version validated CG-vs-CG while both barely descended (chi2 ratio
+    0.795, VERDICT r2 weak #6); the chain solver actually reaches the
+    trusted f64 optimum, so agreement is now a strong signal."""
     import numpy as np
     import jax
 
@@ -57,33 +62,44 @@ def bench_sharded_lm(n_nodes=16384):
     from delta_graph_slam_tpu.parallel import make_mesh, optimize_se2_sharded
 
     b, gt = _build_bench_graph(n_nodes)
-    g = b.to_arrays()          # built ONCE; stays out of the timed loop
-    cfg = SolverConfig(backend="cg", max_iterations=20, cg_max_iters=50,
-                       cg_rtol=1e-5)
+    g = b.to_arrays(chain_first=True)
+    nc = g.poses.shape[0] - 1
+    hint = b.count_offchain(0)
+    cfg = SolverConfig(backend="chain", max_iterations=40)
 
-    ref_poses, ref_stats = optimize_se2(g, level=0, config=cfg)
+    ref_poses, ref_stats = optimize_se2(g, level=0, config=cfg,
+                                        off_hint=hint, n_chain=nc)
     ref_np = np.asarray(ref_poses)[:n_nodes]
+    ate_ref = float(np.mean(np.linalg.norm(ref_np[:, :2] - gt[:, :2],
+                                           axis=1)))
 
-    out = {"metric": "sharded_lm_16k", "nodes": n_nodes,
-           "unit": "ms/iter per mesh size (virtual CPU mesh)"}
-    for n_mesh in (1, 2, 4, 8):
+    out = {"metric": "sharded_chain_lm", "nodes": n_nodes,
+           "unit": "ms/iter per mesh size (virtual CPU mesh)",
+           "solver": "spike_chain_df"}
+    for n_mesh in (2, 4, 8):
         mesh = make_mesh(n_mesh, dp=1, mp=n_mesh)
-        poses, stats = optimize_se2_sharded(g, mesh, level=0, config=cfg,
-                                            axis="mp")  # compile
+        poses, stats = optimize_se2_sharded(
+            g, mesh, level=0, config=cfg, axis="mp", n_chain=nc,
+            off_hint=hint,
+        )  # compile
         jax.block_until_ready(poses)
         t0 = time.perf_counter()
-        poses, stats = optimize_se2_sharded(g, mesh, level=0, config=cfg,
-                                            axis="mp")
+        poses, stats = optimize_se2_sharded(
+            g, mesh, level=0, config=cfg, axis="mp", n_chain=nc,
+            off_hint=hint,
+        )
         poses_np = np.asarray(poses)[:n_nodes]
         dt = time.perf_counter() - t0
         iters = max(int(stats.iterations), 1)
         err = float(np.max(np.abs(poses_np - ref_np)))
         out[f"mesh{n_mesh}_ms_per_iter"] = round(dt * 1000 / iters, 3)
         out[f"mesh{n_mesh}_max_dev_vs_unsharded"] = round(err, 9)
-        assert err < 1e-4, f"sharded solve diverged from reference: {err}"
-    out["chi2_reduction"] = round(
-        float(ref_stats.chi2_final / max(float(ref_stats.chi2_initial),
-                                         1e-9)), 6)
+        assert err < 1e-3, f"sharded solve diverged from reference: {err}"
+    ratio = float(ref_stats.chi2_final) / max(float(ref_stats.chi2_initial),
+                                              1e-9)
+    out["chi2_reduction"] = round(ratio, 6)
+    out["ate_vs_gt_m"] = round(ate_ref, 4)
+    assert ratio < 0.01, f"reference solve did not converge: {ratio}"
     print(json.dumps(out))
 
 

@@ -1,0 +1,407 @@
+"""Fused SE2 chain-LM driver: analytic df assembly, lambda-free carry.
+
+The generic chain backend (lm_core.lm_optimize + chain_solve) re-derives
+per-edge (E,3,3) Jacobian tables and five generic double-float 3x3
+matmuls per edge every iteration (measured on TPU v5e at 4k nodes:
+linearize 1.6 ms, gradient 0.9, df assembly 5.0, factor 1.0, Woodbury
+1.7 of a ~10 ms LM iteration). This driver exploits the chain-first
+edge layout (SE2GraphBuilder.to_arrays(chain_first=True)) to close the
+solver gap against g2o lm_var_cholmod
+(/root/reference/src/hdl_graph_slam/graph_slam.cpp:338-352,
+launch/delta_graph_slam.launch:81):
+
+- the chain rows' tridiagonal Hessian blocks are computed in closed form
+  from the SE2 edge structure: the 2x2 Jacobian block is a rotation, so
+  J^T W J collapses to ~30 double-float multiplies per edge instead of
+  five generic df 3x3 matmuls (135);
+- assembly is pure shifts (no scatters) and the *lambda-free*
+  tridiagonal is carried across LM iterations: a rejected step
+  re-factors with the new damping but never re-linearizes, re-multiplies
+  or re-assembles;
+- the off-chain classification/argsort is hoisted out of the iteration
+  loop (the off-chain edge SET is static for a given graph + level;
+  only its robust weights change);
+- one joint BCR apply per iteration over [gradient | C^T]
+  (chain_solve.chain_core_solve_df).
+
+Semantics match lm_core.lm_optimize exactly: g2o Levenberg schedule
+(tau * max diag, gain-ratio accept/reject), level masking, fixed
+vertices, robust IRLS weights, min_edges whole-graph skip.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geom.dfloat import DF, df_add_small, df_normalize_angle, df_value
+from ..geom.se2 import normalize_angle
+from .df_linalg import DFM, df_add, df_mul, df_scale, df_sub, dfm, df_segment_sum
+from .lm_core import LinSys, SolverConfig, SolverStats, bmv, pad_block, concat_sys
+from .robust import robust_rho, robust_weight
+from .chain_solve import chain_core_solve_df
+
+
+class _Bundle(NamedTuple):
+    """One linearization: lambda-free tridiagonal + gradient + tail."""
+
+    A0: DFM          # (N,3,3) raw Hessian diagonal blocks (no fm/lam)
+    B0: DFM          # (N,3,3) raw sub-diagonal blocks (B0[0] = 0)
+    b: jnp.ndarray   # (N,3) gradient sum J^T W r
+    chi2: jnp.ndarray
+    tail: LinSys     # non-chain rows (loops, priors, de-overlap, ...)
+
+
+def _P(a, b):
+    """Exact product of two f32 arrays as a DFM."""
+    return df_mul(dfm(a), dfm(b))
+
+
+def _chain_pass(graph, state: DF, level, nc):
+    """Fused residual/chi2/gradient/Hessian pass over the chain rows.
+
+    Row k holds the odometry edge between vertices {k, k+1} in either
+    orientation (to_arrays(chain_first=True)); inactive slots are
+    zero-weighted no-ops. Returns per-slot (Hii, Hjj, Hij) df blocks in
+    the STORED (i, j) orientation, f32 gradient halves (bi, bj), the
+    slot reversal mask and the chi2 contribution.
+    """
+    e = graph.edges
+    hi, lo = state
+    ph_k, pl_k = hi[:nc], lo[:nc]
+    ph_k1, pl_k1 = hi[1:nc + 1], lo[1:nc + 1]
+    rev = e.i[:nc] > e.j[:nc]
+    rv = rev[:, None]
+    pih = jnp.where(rv, ph_k1, ph_k)
+    pil = jnp.where(rv, pl_k1, pl_k)
+    pjh = jnp.where(rv, ph_k, ph_k1)
+    pjl = jnp.where(rv, pl_k, pl_k1)
+    meas = e.meas[:nc]
+
+    # residual (double-float differences; see solver._se2_edge_err_jac)
+    dx = (pjh[:, 0] - pih[:, 0]) + (pjl[:, 0] - pil[:, 0])
+    dy = (pjh[:, 1] - pih[:, 1]) + (pjl[:, 1] - pil[:, 1])
+    dth = (pjh[:, 2] - pih[:, 2]) + (pjl[:, 2] - pil[:, 2])
+    ch, sh = jnp.cos(pih[:, 2]), jnp.sin(pih[:, 2])
+    ci = ch - pil[:, 2] * sh
+    si = sh + pil[:, 2] * ch
+    tx = ci * dx + si * dy
+    ty = -si * dx + ci * dy
+    cm, sm = jnp.cos(meas[:, 2]), jnp.sin(meas[:, 2])
+    ex = cm * (tx - meas[:, 0]) + sm * (ty - meas[:, 1])
+    ey = -sm * (tx - meas[:, 0]) + cm * (ty - meas[:, 1])
+    eth = normalize_angle(dth - meas[:, 2])
+
+    # Ji = [[-c,-s,gx],[s,-c,gy],[0,0,-1]], Jj = [[c,s,0],[-s,c,0],[0,0,1]]
+    # with Rot = [[c,s],[-s,c]] = R(-th_m) R(-th_i) a rotation matrix.
+    c = cm * ci - sm * si
+    s = cm * si + sm * ci
+    gx = cm * ty - sm * tx
+    gy = -(sm * ty + cm * tx)
+
+    info = e.info[:nc]
+    i00, i01, i02 = info[:, 0, 0], info[:, 0, 1], info[:, 0, 2]
+    i11, i12, i22 = info[:, 1, 1], info[:, 1, 2], info[:, 2, 2]
+    e2 = (ex * (i00 * ex + i01 * ey + i02 * eth)
+          + ey * (i01 * ex + i11 * ey + i12 * eth)
+          + eth * (i02 * ex + i12 * ey + i22 * eth))
+    kern, delta = e.kernel[:nc], e.delta[:nc]
+    act = e.mask[:nc] & (e.level[:nc] == level)
+    rho = robust_rho(e2, kern, delta)
+    chi2 = jnp.sum(jnp.where(act, rho, 0.0))
+    wgt = jnp.where(act, robust_weight(e2, kern, delta), 0.0)
+
+    w11, w12, w13 = wgt * i00, wgt * i01, wgt * i02
+    w22, w23, w33 = wgt * i11, wgt * i12, wgt * i22
+
+    # closed-form df blocks. With q = W2 g - w23vec:
+    #   Hii = [[ B2, -t],[-t^T, g'W2g - 2 g.w23 + w33]]   t = Rot^T q
+    #   Hjj = [[ B2,  v],[ v^T, w33]]                      v = Rot^T w23vec
+    #   Hij = [[-B2, -v],[ t^T, g.w23 - w33]]
+    # where B2 = Rot^T W2 Rot (the congruence of a 2x2 by a rotation).
+    dfc, dfs = dfm(c), dfm(s)
+    m00 = df_sub(_P(c, w11), _P(s, w12))
+    m01 = df_sub(_P(c, w12), _P(s, w22))
+    m10 = df_add(_P(s, w11), _P(c, w12))
+    m11 = df_add(_P(s, w12), _P(c, w22))
+    b00 = df_sub(df_mul(m00, dfc), df_mul(m01, dfs))
+    b01 = df_add(df_mul(m00, dfs), df_mul(m01, dfc))
+    b10 = df_sub(df_mul(m10, dfc), df_mul(m11, dfs))
+    b11 = df_add(df_mul(m10, dfs), df_mul(m11, dfc))
+    v0 = df_sub(_P(c, w13), _P(s, w23))
+    v1 = df_add(_P(s, w13), _P(c, w23))
+    wg0 = df_add(_P(w11, gx), _P(w12, gy))
+    wg1 = df_add(_P(w12, gx), _P(w22, gy))
+    q0 = df_sub(wg0, dfm(w13))
+    q1 = df_sub(wg1, dfm(w23))
+    t0 = df_sub(df_mul(dfc, q0), df_mul(dfs, q1))
+    t1 = df_add(df_mul(dfs, q0), df_mul(dfc, q1))
+    gW = df_add(df_mul(dfm(gx), wg0), df_mul(dfm(gy), wg1))
+    gw23 = df_add(_P(gx, w13), _P(gy, w23))
+    hgg = df_add(df_sub(gW, df_scale(gw23, jnp.asarray(2.0, c.dtype))),
+                 dfm(w33))
+    hij22 = df_sub(gw23, dfm(w33))
+
+    def blk(r0, r1, r2):
+        h = jnp.stack([jnp.stack([x.hi for x in r0], -1),
+                       jnp.stack([x.hi for x in r1], -1),
+                       jnp.stack([x.hi for x in r2], -1)], -2)
+        l = jnp.stack([jnp.stack([x.lo for x in r0], -1),
+                       jnp.stack([x.lo for x in r1], -1),
+                       jnp.stack([x.lo for x in r2], -1)], -2)
+        return DFM(h, l)
+
+    def neg(x):
+        return DFM(-x.hi, -x.lo)
+
+    w33d = dfm(w33)
+    Hii = blk([b00, b01, neg(t0)], [b10, b11, neg(t1)],
+              [neg(t0), neg(t1), hgg])
+    Hjj = blk([b00, b01, v0], [b10, b11, v1], [v0, v1, w33d])
+    Hij = blk([neg(b00), neg(b01), neg(v0)], [neg(b10), neg(b11), neg(v1)],
+              [t0, t1, hij22])
+
+    # gradient halves (f32; rounding here is not kappa-amplified)
+    Wr0 = w11 * ex + w12 * ey + w13 * eth
+    Wr1 = w12 * ex + w22 * ey + w23 * eth
+    Wr2 = w13 * ex + w23 * ey + w33 * eth
+    bj0 = c * Wr0 - s * Wr1
+    bj1 = s * Wr0 + c * Wr1
+    bi = jnp.stack([-bj0, -bj1, gx * Wr0 + gy * Wr1 - Wr2], -1)
+    bj = jnp.stack([bj0, bj1, Wr2], -1)
+    return Hii, Hjj, Hij, bi, bj, rev, chi2
+
+
+def _linearize_tail(graph, state: DF, level, nc):
+    """Generic linearization of the non-chain rows (se2 tail + priors).
+
+    Mirrors solver._linearize but slices the se2 table to [nc:]."""
+    from .solver import _se2_edge_err_jac, _xy_jac, _yaw_jac
+
+    hi, lo = state
+    parts = []
+    chi2 = jnp.asarray(0.0, hi.dtype)
+
+    e = graph.edges
+    sl = jnp.s_[nc:]
+    r, Ji, Jj = _se2_edge_err_jac(
+        hi[e.i[sl]], lo[e.i[sl]], hi[e.j[sl]], lo[e.j[sl]], e.meas[sl]
+    )
+    fams = [
+        (e.i[sl], e.j[sl], r, Ji, Jj, e.info[sl],
+         e.mask[sl] & (e.level[sl] == level), e.kernel[sl], e.delta[sl], 3),
+    ]
+    p = graph.priors_xy
+    rp = (hi[p.i, :2] - p.meas) + lo[p.i, :2]
+    fams.append((p.i, p.i, rp, _xy_jac(hi[p.i], p.meas), None, p.info,
+                 p.mask & (p.level == level), p.kernel, p.delta, 2))
+    q = graph.priors_yaw
+    rq = normalize_angle((hi[q.i, 2] - q.meas) + lo[q.i, 2])[:, None]
+    fams.append((q.i, q.i, rq, _yaw_jac(hi[q.i], q.meas), None,
+                 q.info.reshape(-1, 1, 1),
+                 q.mask & (q.level == level), q.kernel, q.delta, 1))
+
+    for i, j, rr, Jio, Jjo, info, a, kern, delta, dim in fams:
+        rr = rr.reshape(rr.shape[0], dim)
+        ii = info.reshape(-1, dim, dim)
+        e2 = jnp.einsum("ea,eab,eb->e", rr, ii, rr)
+        chi2 = chi2 + jnp.sum(jnp.where(a, robust_rho(e2, kern, delta), 0.0))
+        w = robust_weight(e2, kern, delta)
+        Wf = ii * jnp.where(a, w, 0.0)[:, None, None]
+        r3, Ji3, Jj3, W3 = pad_block(rr, Jio, Jjo, Wf, dim, 3)
+        parts.append((i, j, r3, Ji3, Jj3, W3))
+    return concat_sys(parts), chi2
+
+
+def _linearize_full(graph, state, level, nc, N, free_v):
+    """One fused linearization -> _Bundle (lambda-free).
+
+    free_v: (N,) bool — vertices free at this level (same activity-aware
+    mask the generic chain_solve._classify uses via the free matrix)."""
+    Hii, Hjj, Hij, bi, bj, rev, chi2_c = _chain_pass(graph, state, level, nc)
+    tail, chi2_t = _linearize_tail(graph, state, level, nc)
+    dtype = state.hi.dtype
+    D = 3
+
+    rv = rev[:, None, None]
+
+    def sel(R, F):
+        return DFM(jnp.where(rv, R.hi, F.hi), jnp.where(rv, R.lo, F.lo))
+
+    top = sel(Hjj, Hii)          # block at vertex k
+    bot = sel(Hii, Hjj)          # block at vertex k+1
+    HijT = DFM(jnp.swapaxes(Hij.hi, 1, 2), jnp.swapaxes(Hij.lo, 1, 2))
+    sub = sel(Hij, HijT)         # T[k+1, k]
+
+    z1 = jnp.zeros((N - nc, D, D), dtype)
+    zb = jnp.zeros((1, D, D), dtype)
+    pad = jnp.zeros((N - nc - 1, D, D), dtype)
+
+    def cat_top(X):
+        return DFM(jnp.concatenate([X.hi, z1]), jnp.concatenate([X.lo, z1]))
+
+    def cat_bot(X):
+        return DFM(jnp.concatenate([zb, X.hi, pad]),
+                   jnp.concatenate([zb, X.lo, pad]))
+
+    A0 = df_add(cat_top(top), cat_bot(bot))
+    B0 = cat_bot(sub)
+
+    # tail contributions: exact df scatter over the small remainder.
+    # Off-chain rows are EXCLUDED from the tridiagonal (they go through
+    # the Woodbury correction); chainlike tail rows (fixed-endpoint
+    # edges, |i-j|<=1 duplicates, priors) fold in here.
+    t_active = jnp.any(tail.W != 0, axis=(1, 2))
+    t_off = ((jnp.abs(tail.i - tail.j) > 1)
+             & free_v[tail.i] & free_v[tail.j] & t_active)
+    t_chain = ~t_off
+    JiT = jnp.swapaxes(tail.Ji, 1, 2)
+    JjT = jnp.swapaxes(tail.Jj, 1, 2)
+    m = t_chain[:, None, None].astype(dtype)
+    from .df_linalg import df_bmm, df_bT
+
+    Jid, Jjd, Wd = dfm(tail.Ji), dfm(tail.Jj), dfm(tail.W)
+    Hiit = df_bmm(df_bT(Jid), df_bmm(Wd, Jid))
+    Hjjt = df_bmm(df_bT(Jjd), df_bmm(Wd, Jjd))
+    Hijt = df_bmm(df_bT(Jid), df_bmm(Wd, Jjd))
+    both = DFM(jnp.concatenate([Hiit.hi * m, Hjjt.hi * m]),
+               jnp.concatenate([Hiit.lo * m, Hjjt.lo * m]))
+    ids = jnp.concatenate([tail.i, tail.j])
+    A0 = df_add(A0, df_segment_sum(both, ids, N))
+    sub_ok = (t_chain & (jnp.abs(tail.i - tail.j) == 1))[:, None, None]
+    HijTt = df_bT(Hijt)
+    swap = (tail.j > tail.i)[:, None, None]
+    val = DFM(jnp.where(swap, HijTt.hi, Hijt.hi) * sub_ok.astype(dtype),
+              jnp.where(swap, HijTt.lo, Hijt.lo) * sub_ok.astype(dtype))
+    B0 = df_add(B0, df_segment_sum(val, jnp.maximum(tail.i, tail.j), N))
+
+    # gradient: chain halves by shifts, tail by scatter
+    z1v = jnp.zeros((N - nc, D), dtype)
+    z1b = jnp.zeros((1, D), dtype)
+    padv = jnp.zeros((N - nc - 1, D), dtype)
+    topv = jnp.where(rev[:, None], bj, bi)
+    botv = jnp.where(rev[:, None], bi, bj)
+    b = jnp.concatenate([topv, z1v])
+    b = b + jnp.concatenate([z1b, botv, padv])
+    Wr = bmv(tail.W, tail.r)
+    b = b + jax.ops.segment_sum(bmv(JiT, Wr), tail.i, num_segments=N)
+    b = b + jax.ops.segment_sum(bmv(JjT, Wr), tail.j, num_segments=N)
+
+    return _Bundle(A0, B0, b, chi2_c + chi2_t, tail), t_off
+
+
+def lm_se2_chain(graph, level, free, cfg: SolverConfig, n_edges_total):
+    """Drop-in for lm_optimize on SE2 chain-first graphs, backend='chain',
+    precision='df', refine_steps=0. Returns (DF state, SolverStats)."""
+    nc = cfg.chain_layout
+    N = free.shape[0]
+    dtype = free.dtype
+    D = 3
+    state0 = DF(graph.poses, jnp.zeros_like(graph.poses))
+    free_v = jnp.any(free > 0, axis=1)
+
+    bundle0, t_off0 = _linearize_full(graph, state0, level, nc, N, free_v)
+    skip = n_edges_total < cfg.min_edges
+
+    # hoisted off-chain compaction: the SET is static per (graph, level)
+    K_cap = min(int(cfg.chain_offrank_capacity), bundle0.tail.i.shape[0])
+    order = jnp.argsort(~t_off0)[:K_cap]
+    live = t_off0[order]
+    gate = live[:, None, None].astype(dtype)
+    off_i = bundle0.tail.i[order]
+    off_j = bundle0.tail.j[order]
+    n_drop = (jnp.sum(t_off0) - jnp.sum(live)).astype(jnp.int32)
+
+    # lam0 = tau * max |diag H| over free dims (g2o Levenberg init);
+    # off-chain rows add their diagonal contributions on top of A0's
+    dg = jnp.einsum("vaa->va", bundle0.A0.hi)
+    offJi = bundle0.tail.Ji[order] * gate
+    offJj = bundle0.tail.Jj[order] * gate
+    offW = bundle0.tail.W[order] * gate
+    dii = jnp.einsum("kba,kbc,kca->ka", offJi, offW, offJi)
+    djj = jnp.einsum("kba,kbc,kca->ka", offJj, offW, offJj)
+    dg = dg + jax.ops.segment_sum(dii, off_i, num_segments=N)
+    dg = dg + jax.ops.segment_sum(djj, off_j, num_segments=N)
+    maxdiag = jnp.max(jnp.abs(dg) * free)
+    lam0 = (cfg.lm_tau * jnp.maximum(maxdiag, 1e-12)).astype(dtype)
+
+    eye = jnp.eye(D, dtype=dtype)
+    fm = free[:, :, None] * free[:, None, :]
+    bm = free[:, :, None] * jnp.roll(free, 1, axis=0)[:, None, :]
+    bm = bm.at[0].set(0.0)
+
+    def solve(bundle, lam):
+        diag_extra = (1.0 - fm) * eye[None] + lam * free[:, :, None] * eye[None]
+        Ad = df_add(DFM(bundle.A0.hi * fm, bundle.A0.lo * fm), dfm(diag_extra))
+        Bd = DFM(bundle.B0.hi * bm, bundle.B0.lo * bm)
+        off = None
+        if K_cap > 0:
+            off = (off_i, off_j, bundle.tail.Ji[order] * gate,
+                   bundle.tail.Jj[order] * gate, bundle.tail.W[order] * gate)
+        with jax.default_matmul_precision("highest"):
+            if cfg.chain_segments > 1:
+                from ..parallel.spike import spike_core_solve_df
+
+                return spike_core_solve_df(
+                    Ad, Bd, -bundle.b, free, N, p=cfg.chain_segments,
+                    off=off, mesh_axis=cfg.chain_mesh_axis,
+                )
+            return chain_core_solve_df(Ad, Bd, -bundle.b, free, N, off=off)
+
+    def apply_fn(state, dx):
+        out = df_add_small(state, dx)
+        th = df_normalize_angle(DF(out.hi[:, 2], out.lo[:, 2]))
+        return DF(out.hi.at[:, 2].set(th.hi), out.lo.at[:, 2].set(th.lo))
+
+    def lm_step(carry):
+        state, bundle, lam, nu, chi2, it, _ = carry
+        dx = solve(bundle, lam)
+        trial = apply_fn(state, dx)
+        bundle_t, _ = _linearize_full(graph, trial, level, nc, N, free_v)
+        chi2_t = bundle_t.chi2
+        denom = jnp.sum(dx * (lam * dx - bundle.b))
+        rho = (chi2 - chi2_t) / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+        finite = (jnp.all(jnp.isfinite(trial.hi))
+                  & jnp.all(jnp.isfinite(trial.lo)))
+        accept = (chi2_t < chi2) & finite
+
+        def pick(t, s):
+            return jnp.where(accept, t, s)
+
+        state_n = jax.tree_util.tree_map(pick, trial, state)
+        bundle_n = jax.tree_util.tree_map(pick, bundle_t, bundle)
+        chi2_n = jnp.where(accept, chi2_t, chi2)
+        lam_dec = lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam_n = jnp.where(accept, lam_dec, lam * nu).astype(dtype)
+        nu_n = jnp.where(accept, 2.0, nu * 2.0).astype(dtype)
+        converged = accept & (
+            ((chi2 - chi2_n) <= cfg.chi2_rel_tol * jnp.maximum(chi2, 1e-30))
+            | (jnp.sum(dx * dx) < cfg.dx_tol)
+        )
+        return state_n, bundle_n, lam_n, nu_n, chi2_n, it + 1, converged
+
+    def cond(carry):
+        _, _, lam, _, _, it, done = carry
+        return (~done) & (it < cfg.max_iterations) & (lam < 1e12) & (~skip)
+
+    init = (state0, bundle0, lam0, jnp.asarray(2.0, dtype), bundle0.chi2,
+            jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    state, _, lam, nu, chi2, iters, _ = jax.lax.while_loop(cond, lm_step, init)
+
+    # active-edge count for stats (matches lm_core's chi2_fn contract)
+    e = graph.edges
+    nact = jnp.sum(e.mask & (e.level == level))
+    p = graph.priors_xy
+    nact = nact + jnp.sum(p.mask & (p.level == level))
+    q = graph.priors_yaw
+    nact = nact + jnp.sum(q.mask & (q.level == level))
+
+    stats = SolverStats(
+        chi2_initial=bundle0.chi2,
+        chi2_final=chi2,
+        iterations=jnp.where(skip, -1, iters),
+        lambda_final=lam,
+        num_active_edges=nact,
+        n_offchain_dropped=n_drop,
+    )
+    return state, stats

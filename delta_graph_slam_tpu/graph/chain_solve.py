@@ -475,6 +475,87 @@ def bcr_apply_df(factors, g):
     return x
 
 
+def chain_core_solve_df(Ad, Bd, b, free, N, off=None):
+    """Direct df solve on a PREASSEMBLED tridiagonal (the chain_lm fast
+    path; see chain_solve for the generic entry that assembles from a
+    LinSys).
+
+    Ad, Bd: DFM (N,D,D) with fixed-dim identity rows/cols AND the LM
+    damping already applied (B[0] = 0). b: (N,D) f32 RHS. off: optional
+    precompacted off-chain table (ei, ej, Ji, Jj, W) of length K with
+    inactive slots zero-weighted (exact no-ops).
+
+    One BCR factorization, then ONE joint df apply over [b | C^T] —
+    the separate u apply of the generic path costs an extra full level
+    sweep (measured 0.42 ms at 4k nodes on TPU v5e).
+    """
+    from .df_linalg import DFM, df_add, df_bmm, df_matmul, dfm
+
+    D = b.shape[1]
+    dtype = b.dtype
+    P = 1 << max(int(N - 1).bit_length(), 2)
+    padA = jnp.broadcast_to(jnp.eye(D, dtype=dtype), (P - N, D, D))
+    padZ = jnp.zeros((P - N, D, D), dtype)
+    Ad = DFM(jnp.concatenate([Ad.hi, padA]), jnp.concatenate([Ad.lo, padZ]))
+    Bd = DFM(jnp.concatenate([Bd.hi, padZ]), jnp.concatenate([Bd.lo, padZ]))
+    factors = bcr_factor_df(Ad, Bd)
+
+    rf = (b * free)[:, :, None]
+    rf = jnp.concatenate([rf, jnp.zeros((P - N, D, 1), dtype)])
+    if off is None:
+        x = bcr_apply_df(factors, rf)
+        x = DFM(x.hi[:N, :, 0], x.lo[:N, :, 0])
+        return (x.hi + x.lo) * free
+
+    ei, ej, Ji, Jj, W = off
+    K = ei.shape[0]
+    eyeK = jnp.eye(K * D, dtype=dtype).reshape(K, D, K * D)
+    Ct = jax.ops.segment_sum(
+        bmm(jnp.swapaxes(Ji, 1, 2), eyeK), ei, num_segments=N
+    )
+    Ct = Ct + jax.ops.segment_sum(
+        bmm(jnp.swapaxes(Jj, 1, 2), eyeK), ej, num_segments=N
+    )
+    Ct = Ct * free[:, :, None]
+    Ct = jnp.concatenate([Ct, jnp.zeros((P - N, D, K * D), dtype)])
+
+    sol = bcr_apply_df(factors, jnp.concatenate([rf, Ct], axis=-1))
+    ud = DFM(sol.hi[:N, :, 0], sol.lo[:N, :, 0])          # (N,D)
+    Vd = DFM(sol.hi[:N, :, 1:], sol.lo[:N, :, 1:])        # (N,D,K*D)
+
+    # Woodbury in df (see _chain_solve_impl's df branch for the error
+    # analysis: u and V carry ~1e4x-amplified global chain modes that
+    # cancel in x = u - V y; the capacitance solve is f32-preconditioned
+    # df-refined)
+    CVd = df_add(
+        df_bmm(dfm(Ji), DFM(Vd.hi[ei], Vd.lo[ei])),
+        df_bmm(dfm(Jj), DFM(Vd.hi[ej], Vd.lo[ej])),
+    )
+    WCVd = df_bmm(dfm(W), CVd)
+    eyeKD = jnp.eye(K * D, dtype=dtype)
+    Mcap_d = df_add(
+        dfm(eyeKD),
+        DFM(WCVd.hi.reshape(K * D, K * D), WCVd.lo.reshape(K * D, K * D)),
+    )
+    Mcap_inv = _inv_dense(Mcap_d.hi)
+    Cud = df_add(
+        df_bmm(dfm(Ji), DFM(ud.hi[ei, :, None], ud.lo[ei, :, None])),
+        df_bmm(dfm(Jj), DFM(ud.hi[ej, :, None], ud.lo[ej, :, None])),
+    )
+    Cu = (Cud.hi + Cud.lo)[:, :, 0]
+    WCu = bmv(W, Cu).reshape(K * D)
+    y = Mcap_inv @ WCu
+    for _ in range(2):
+        My = df_matmul(Mcap_d, dfm(y[:, None]))
+        ry = WCu - (My.hi + My.lo)[:, 0]
+        y = y + Mcap_inv @ ry
+    V2 = DFM(Vd.hi.reshape(N * D, K * D), Vd.lo.reshape(N * D, K * D))
+    Vy = df_matmul(V2, dfm(y[:, None]))
+    xh = ud.hi - Vy.hi.reshape(N, D)
+    xl = ud.lo - Vy.lo.reshape(N, D)
+    return (xh + xl) * free
+
+
 def _offchain_compact(sys: LinSys, off_mask, K_cap):
     """Gather the first K_cap off-chain edges (sorted: off first)."""
     order = jnp.argsort(~off_mask)[:K_cap]

@@ -52,6 +52,15 @@ class SolverConfig:
     # shifts instead of scatters (the dominant per-iter cost at 4k+).
     # Set via optimize_se2(..., n_chain=...); ONLY valid with that layout.
     chain_layout: int = 0
+    # > 1 splits the chain into that many segments solved with the SPIKE
+    # substructuring (parallel/spike.py): per-segment df BCR batched over
+    # the segment axis, interfaces + loops in one Woodbury capacitance.
+    # Numerically identical to the single-chip chain solve; set to the
+    # mesh axis size (with chain_mesh_axis) for a sharded direct solve.
+    chain_segments: int = 0
+    # mesh axis name the segment dimension is sharding-constrained to
+    # (None = run the batched form unsharded)
+    chain_mesh_axis: str = None
 
 
 class SolverStats(NamedTuple):

@@ -171,8 +171,24 @@ def _free_mask(graph: SE2Graph, level):
 
 
 def _make_optimize(cfg: SolverConfig):
+    # fused fast path: chain-first layout + df + no refine -> analytic
+    # assembly with a lambda-free carry (graph/chain_lm.py); measured
+    # ~3x per-iteration speedup over the generic chain path at 4k nodes
+    use_fused = (cfg.backend == "chain" and cfg.chain_layout > 0
+                 and cfg.chain_precision == "df"
+                 and cfg.chain_refine_steps == 0)
+
     def opt(graph: SE2Graph, level):
         free = _free_mask(graph, level)
+
+        if use_fused:
+            from .chain_lm import lm_se2_chain
+
+            n_total = (jnp.sum(graph.edges.mask)
+                       + jnp.sum(graph.priors_xy.mask)
+                       + jnp.sum(graph.priors_yaw.mask))
+            state, stats = lm_se2_chain(graph, level, free, cfg, n_total)
+            return df_value(state), stats
 
         def linearize_fn(state):
             return _linearize(graph, state, level)

@@ -428,3 +428,64 @@ class TestCheckpointResume:
         assert len(pipe2.backend.keyframes) > len(b1.keyframes)
         m = pipe2.evaluate()
         assert m is not None and m["ATE_mean"] < 2.0, m
+
+
+@pytest.mark.slow
+class TestRaycastDeltaE2E:
+    """Full delta pipeline on raycast lidar geometry (io/lidar_sim.py):
+    occluded 64-beam-style scans with range noise and dropout — the
+    honest stand-in for real velodyne bags (VERDICT r2 #4; the
+    point-soup sampler has no occlusion or beam structure and flatters
+    registration convergence). A reduced beam model keeps the scans
+    inside the small test capacities."""
+
+    def _raycast_city(self, n_frames, trajectory="forward", turn_frames=None):
+        from delta_graph_slam_tpu.io.lidar_sim import (
+            LidarModel, raycast_city_sequence,
+        )
+
+        model = LidarModel(n_beams=32, azimuth_step_deg=1.0, dropout=0.05)
+        return raycast_city_sequence(
+            n_frames=n_frames, speed=3.0, model=model,
+            trajectory=trajectory, turn_frames=turn_frames,
+        )
+
+    def test_raycast_full_run(self):
+        world, frames = self._raycast_city(40)
+        cfg = small_delta_cfg()
+        pipe = Pipeline(cfg, building_provider=StaticProvider(world.osm_xml()),
+                        base_T=np.eye(4))
+        gts = rel_gt(frames)
+        for fr, gt in zip(frames, gts):
+            pipe.on_gps(fr.stamp, *fr.gps)
+            pipe.on_points(fr.stamp, fr.points, gt_pose=gt)
+        pipe.finish()
+        backend = pipe.backend
+        assert len(backend.keyframes) >= 3
+        assert len(backend.buildings_manager.buildings) >= 3
+        metrics = pipe.evaluate()
+        assert metrics is not None
+        # occluded beam-structured scans with noise: accuracy degrades
+        # vs the point soup (cm-level) — bound at 1 m to catch gross
+        # registration/backend regressions without overfitting the sim
+        assert metrics["ATE_mean"] < 1.0, metrics
+
+    def test_raycast_lap_closes_loops(self):
+        world, frames = self._raycast_city(52, trajectory="lap",
+                                           turn_frames=20)
+        cfg = small_delta_cfg()
+        delta = dataclasses.replace(
+            cfg.delta, distance_thresh=6.0, accum_distance_thresh=6.0,
+            min_edge_interval=3.0, fitness_score_thresh=1.0,
+        )
+        cfg = dataclasses.replace(cfg, delta=delta)
+        pipe = Pipeline(cfg, building_provider=StaticProvider(world.osm_xml()))
+        gts = rel_gt(frames)
+        for fr, gt in zip(frames, gts):
+            pipe.on_gps(fr.stamp, *fr.gps)
+            pipe.on_points(fr.stamp, fr.points, gt_pose=gt)
+        pipe.finish()
+        backend = pipe.backend
+        assert count_loop_edges(backend) >= 1
+        m = pipe.evaluate()
+        assert m is not None and m["ATE_mean"] < 1.5, m
