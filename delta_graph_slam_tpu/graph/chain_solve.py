@@ -388,7 +388,7 @@ def bcr_factor_df(A, B):
     A (M,D,D), B (M,D,D) f32, M a power of two. Returns df levels +
     df base inverse for bcr_apply_df.
     """
-    from .df_linalg import DFM, df_add, df_bT, df_bmm, df_inv3, df_neg, dfm
+    from .df_linalg import DFM, df_add, df_bT, df_bmm, df_invD, df_neg, dfm
 
     def sl(X, s):
         return DFM(X.hi[s], X.lo[s])
@@ -407,7 +407,7 @@ def bcr_factor_df(A, B):
             jnp.concatenate([Bd.lo[2::2], jnp.zeros_like(Bd.lo[:1])]),
         )
         B_e = sl(Bd, jnp.s_[0::2])
-        Ao_inv = df_inv3(Ao)
+        Ao_inv = df_invD(Ao)
         Ao_inv_Bo = df_bmm(Ao_inv, B_o)
         Ao_inv_B1T = df_bmm(Ao_inv, df_bT(B_o1))
         levels.append((Ao_inv, B_o, B_e, Ao_inv_Bo, Ao_inv_B1T))
@@ -421,11 +421,11 @@ def bcr_factor_df(A, B):
         )
         Bn = df_neg(df_bmm(B_e, roll1(Ao_inv_Bo)))
         Bd = DFM(Bn.hi.at[0].set(0.0), Bn.lo.at[0].set(0.0))
-    return levels, df_inv3(Ad)
+    return levels, df_invD(Ad)
 
 
 def bcr_apply_df(factors, g):
-    """Solve T x = g in double-float; g (M,D,R) f32, returns DFM.
+    """Solve T x = g in double-float; g (M,D,R) f32 or DFM, returns DFM.
 
     Returns BOTH limbs: T^{-1} amplifies the chain's global modes, so
     the solution components are huge (~1e4x the final step) and the
@@ -438,7 +438,7 @@ def bcr_apply_df(factors, g):
         return DFM(jnp.roll(X.hi, 1, axis=0), jnp.roll(X.lo, 1, axis=0))
 
     levels, base_inv = factors
-    gd = dfm(g)
+    gd = g if isinstance(g, DFM) else dfm(g)
     saved = []
     for Ao_inv, B_o, B_e, _, _ in levels:
         go = DFM(gd.hi[1::2], gd.lo[1::2])

@@ -243,6 +243,66 @@ def df_matmul(A: DFM, B: DFM) -> DFM:
     return DFM(s.hi[..., 0, :], s.lo[..., 0, :])
 
 
+def df_inv6(A: DFM) -> DFM:
+    """Batched 6x6 inverse in double-float via 2x2-blocked Schur:
+
+        [[P, Q], [R, S]]^-1 with 3x3 blocks, using df_inv3 twice
+        (P^-1 and the Schur complement S - R P^-1 Q).
+
+    Needed by the SE3 chain solver (6-dim pose blocks); the same
+    kappa ~ N^2 argument as the SE2 chain applies, so the elimination
+    must not round to f32 between steps."""
+    def blk(r, c):
+        return DFM(A.hi[..., r:r + 3, c:c + 3], A.lo[..., r:r + 3, c:c + 3])
+
+    P, Q = blk(0, 0), blk(0, 3)
+    R, S = blk(3, 0), blk(3, 3)
+    Pi = df_inv3(P)
+    PiQ = df_bmm(Pi, Q)
+    RPi = df_bmm(R, Pi)
+    Schur = df_add(S, df_neg(df_bmm(R, PiQ)))
+    Si = df_inv3(Schur)
+    # inverse blocks
+    TL = df_add(Pi, df_bmm(PiQ, df_bmm(Si, RPi)))
+    TR = df_neg(df_bmm(PiQ, Si))
+    BL = df_neg(df_bmm(Si, RPi))
+    BR = Si
+
+    def cat(a, b, axis):
+        return DFM(jnp.concatenate([a.hi, b.hi], axis=axis),
+                   jnp.concatenate([a.lo, b.lo], axis=axis))
+
+    top = cat(TL, TR, -1)
+    bot = cat(BL, BR, -1)
+    return cat(top, bot, -2)
+
+
+def df_inv_dense(M: DFM, steps: int = 2) -> DFM:
+    """Dense (n,n) df inverse: f32 seed + Newton X <- X(2I - M X) in df.
+
+    Valid when kappa(M) * eps_f32 < 1 (the Newton contraction factor);
+    each step squares the error, so two steps reach ~2^-48 from an f32
+    seed for the well-conditioned hub blocks this is used on (a plane
+    vertex's diagonal is a sum of thousands of edge informations plus
+    the LM damping)."""
+    X = dfm(jnp.linalg.inv(M.hi))
+    eye2 = dfm(2.0 * jnp.eye(M.hi.shape[-1], dtype=M.hi.dtype))
+    for _ in range(steps):
+        MX = df_matmul(M, X)
+        X = df_matmul(X, df_add(eye2, df_neg(MX)))
+    return X
+
+
+def df_invD(A: DFM) -> DFM:
+    """Block-size dispatch: 3 -> adjugate, 6 -> blocked Schur."""
+    D = A.hi.shape[-1]
+    if D == 3:
+        return df_inv3(A)
+    if D == 6:
+        return df_inv6(A)
+    raise NotImplementedError(f"df inverse for D={D}")
+
+
 def df_inv3(A: DFM) -> DFM:
     """Batched 3x3 inverse via the adjugate, all in double-float."""
     def el(i, j):

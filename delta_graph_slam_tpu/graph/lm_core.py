@@ -52,6 +52,16 @@ class SolverConfig:
     # shifts instead of scatters (the dominant per-iter cost at 4k+).
     # Set via optimize_se2(..., n_chain=...); ONLY valid with that layout.
     chain_layout: int = 0
+    # > 0 routes the chain backend through the hub-elimination solve
+    # (graph/hub_solve.py): the LAST chain_hubs vertices of the unified
+    # space are treated as hub vertices (SE3 floor planes / landmarks),
+    # eliminated exactly via their small dense block; their couplings
+    # join the loop edges in one generalized Woodbury capacitance.
+    # optimize_se3 sets this automatically for backend="chain".
+    chain_hubs: int = 0
+    # capacity for pose<->hub coupling edges in the hub solve (one per
+    # keyframe-with-floor in the hdl pipeline)
+    chain_coupling_capacity: int = 4096
     # > 1 splits the chain into that many segments solved with the SPIKE
     # substructuring (parallel/spike.py): per-segment df BCR batched over
     # the segment axis, interfaces + loops in one Woodbury capacitance.
@@ -294,6 +304,15 @@ def lm_optimize(linearize_fn, chi2_fn, apply_fn, state0, free, cfg: SolverConfig
         b = gradient(sys, N, n_chain=n_chain)
         if cfg.backend == "dense":
             dx = dense_solve(sys, -b, free, lam)
+        elif cfg.backend == "chain" and cfg.chain_hubs > 0:
+            from .hub_solve import chain_hub_solve
+
+            dx, _ = chain_hub_solve(
+                sys, -b, free, lam, N,
+                n_hub=cfg.chain_hubs,
+                K_cap=cfg.chain_offrank_capacity,
+                coup_cap=cfg.chain_coupling_capacity,
+            )
         elif cfg.backend == "chain":
             from .chain_solve import chain_solve
 
@@ -342,7 +361,13 @@ def lm_optimize(linearize_fn, chi2_fn, apply_fn, state0, free, cfg: SolverConfig
         jnp.asarray(0, jnp.int32), jnp.asarray(False),
     )
     state, _, lam, nu, chi2, iters, _ = jax.lax.while_loop(cond, lm_step, init)
-    if cfg.backend == "chain":
+    if cfg.backend == "chain" and cfg.chain_hubs > 0:
+        from .hub_solve import hub_overflow
+
+        n_drop = hub_overflow(sys0, free, N, cfg.chain_hubs,
+                              cfg.chain_offrank_capacity,
+                              cfg.chain_coupling_capacity)
+    elif cfg.backend == "chain":
         from .chain_solve import offchain_overflow
 
         n_drop = offchain_overflow(sys0, free, cfg.chain_offrank_capacity)

@@ -7,6 +7,7 @@ vertex-local update maps (right-multiplicative se3 exp for poses, g2o
 Plane3D::oplus for planes, additive for points) evaluated at zero.
 """
 
+import dataclasses
 import functools
 
 import jax
@@ -256,8 +257,16 @@ _OPT_CACHE = {}
 
 
 def optimize_se3(graph: SE3Graph, level=0, config: SolverConfig = None):
-    """Optimize; returns ((poses, planes, points), SolverStats)."""
+    """Optimize; returns ((poses, planes, points), SolverStats).
+
+    backend="chain" routes through the hub-elimination direct solve
+    (graph/hub_solve.py): poses form the BCR chain, every plane/point
+    slot is a hub vertex eliminated via its small dense block."""
     config = config or SolverConfig()
+    if config.backend == "chain":
+        n_hub = graph.planes.shape[0] + graph.points.shape[0]
+        if config.chain_hubs != n_hub:
+            config = dataclasses.replace(config, chain_hubs=n_hub)
     if config not in _OPT_CACHE:
         _OPT_CACHE[config] = jax.jit(_make_optimize(config))
     return _OPT_CACHE[config](graph, jnp.asarray(level, jnp.int32))

@@ -569,3 +569,139 @@ class TestChainBackend:
         np.testing.assert_allclose(p[vb] - p[va], [15.01, 0, 0], atol=1e-2)
         # level-0 vertices untouched by the level-2 solve
         np.testing.assert_allclose(p[1], [1.0, 0, 0], atol=1e-5)
+
+
+@pytest.mark.slow
+class TestHubSolve:
+    """Hub-elimination direct solve (graph/hub_solve.py): chain poses +
+    dense-eliminated hub vertices (SE3 floor planes / landmarks).
+
+    Slow: the D=6 df BCR programs take minutes to compile on the 1-core
+    CI host (the math itself is milliseconds)."""
+
+    def _system(self, Vc=12, nh=2, D=6, seed=0):
+        rng = np.random.default_rng(seed)
+        N = Vc + nh
+        rows = []                                 # (i, j, Ji, Jj, W)
+
+        def spd():
+            M = rng.normal(size=(D, D))
+            return (M @ M.T + D * np.eye(D)) * 0.1
+
+        def J():
+            return rng.normal(size=(D, D))
+
+        z = np.zeros((D, D))
+        for k in range(Vc - 1):                   # odometry chain
+            rows.append((k, k + 1, J(), J(), spd()))
+        rows.append((2, 9, J(), J(), spd()))      # loop closure
+        # pose<->hub couplings, both stored orientations
+        for p, h, revd in ((1, 0, False), (3, 0, True), (5, 0, False),
+                           (7, 1, True), (8, 1, False)):
+            if revd:
+                rows.append((Vc + h, p, J(), J(), spd()))
+            else:
+                rows.append((p, Vc + h, J(), J(), spd()))
+        rows.append((4, 4, J(), z, spd()))        # unary pose prior
+        rows.append((Vc + 1, Vc + 1, J(), z, spd()))  # unary hub prior
+        rows.append((Vc, Vc + 1, J(), J(), spd()))    # hub-hub edge
+        rows.append((0, 5, J(), J(), np.zeros((D, D))))  # dead padded row
+
+        free = np.ones((N, D), np.float32)
+        free[0] = 0.0                             # fixed anchor
+        free[Vc + 1, 3:] = 0.0                    # plane-like hub: 3 dims
+        b = rng.normal(size=(N, D)).astype(np.float32)
+        return rows, free, b, N
+
+    def _as_linsys(self, rows, N, D=6):
+        from delta_graph_slam_tpu.graph.lm_core import LinSys
+        E = len(rows)
+        i = np.array([r[0] for r in rows], np.int32)
+        j = np.array([r[1] for r in rows], np.int32)
+        Ji = np.stack([r[2] for r in rows]).astype(np.float32)
+        Jj = np.stack([r[3] for r in rows]).astype(np.float32)
+        W = np.stack([r[4] for r in rows]).astype(np.float32)
+        r = np.zeros((E, D), np.float32)
+        return LinSys(jnp.asarray(i), jnp.asarray(j), jnp.asarray(r),
+                      jnp.asarray(Ji), jnp.asarray(Jj), jnp.asarray(W))
+
+    def _ref_solve(self, rows, b, free, lam, N, D=6):
+        """f64 dense oracle with dense_solve's masking semantics."""
+        H = np.zeros((N * D, N * D))
+        for (i, j, Ji, Jj, W) in rows:
+            Ji = Ji.astype(np.float32).astype(np.float64)
+            Jj = Jj.astype(np.float32).astype(np.float64)
+            W = W.astype(np.float32).astype(np.float64)
+            si, sj = slice(i * D, (i + 1) * D), slice(j * D, (j + 1) * D)
+            H[si, si] += Ji.T @ W @ Ji
+            H[sj, sj] += Jj.T @ W @ Jj
+            H[si, sj] += Ji.T @ W @ Jj
+            H[sj, si] += Jj.T @ W @ Ji
+        fm = free.reshape(-1).astype(np.float64)
+        H = H * fm[:, None] * fm[None, :] + np.diag(
+            np.where(fm > 0, lam, 1.0))
+        x = np.linalg.solve(H, b.reshape(-1) * fm)
+        return x.reshape(N, D) * free
+
+    @pytest.mark.parametrize("lam", [1e-2, 1e-6])
+    def test_matches_f64_dense(self, lam):
+        from delta_graph_slam_tpu.graph.hub_solve import chain_hub_solve
+        rows, free, b, N = self._system()
+        sysm = self._as_linsys(rows, N)
+        x, nd = chain_hub_solve(sysm, jnp.asarray(b), jnp.asarray(free),
+                                jnp.asarray(lam, np.float32), N, n_hub=2,
+                                K_cap=4, coup_cap=8)
+        assert int(nd) == 0
+        ref = self._ref_solve(rows, b, free, lam, N)
+        err = np.linalg.norm(np.asarray(x) - ref) / np.linalg.norm(ref)
+        assert err < 1e-5, f"relative step error {err} at lam={lam}"
+
+    def test_overflow_flag(self):
+        from delta_graph_slam_tpu.graph.hub_solve import (
+            chain_hub_solve, hub_overflow)
+        rows, free, b, N = self._system()
+        sysm = self._as_linsys(rows, N)
+        # 5 couplings, cap 3 -> 2 dropped; 1 loop, cap 4 -> 0 dropped
+        _, nd = chain_hub_solve(sysm, jnp.asarray(b), jnp.asarray(free),
+                                jnp.asarray(1e-3, np.float32), N, n_hub=2,
+                                K_cap=4, coup_cap=3)
+        assert int(nd) == 2
+        assert int(hub_overflow(sysm, jnp.asarray(free), N, 2, 4, 3)) == 2
+
+    def test_se3_chain_backend_matches_dense(self):
+        """optimize_se3 backend='chain' (hub solve) lands on the same
+        optimum as the dense backend on a poses+plane+priors graph."""
+        b = SE3GraphBuilder()
+        rng = np.random.default_rng(7)
+        n = 10
+        info6 = np.eye(6) * 100
+        prev = b.add_se3_node(np.eye(4), fixed=True)
+        gts = [np.eye(4)]
+        for k in range(1, n):
+            T = np.eye(4)
+            T[:3, 3] = [float(k), 0.1 * k, 0.0]
+            gts.append(T)
+            Tn = T.copy()
+            Tn[:3, 3] += rng.normal(0, 0.05, 3)
+            v = b.add_se3_node(Tn)
+            rel = np.linalg.inv(gts[k - 1]) @ gts[k]
+            b.add_se3_edge(prev, v, rel, info6)
+            prev = v
+        # loop closure + floor plane hub touched by every pose
+        b.add_se3_edge(0, n - 1, np.linalg.inv(gts[0]) @ gts[n - 1], info6,
+                       kernel="Huber", delta=1.0)
+        p0 = b.add_plane_node([0.0, 0.0, 1.0, 0.0])
+        for v in range(n):
+            b.add_se3_plane_edge(v, p0, [0.0, 0.0, 1.0, 0.0],
+                                 np.eye(3) * 50)
+        b.add_se3_prior_xyz_edge(3, gts[3][:3, 3], np.eye(3) * 10)
+        g = b.to_arrays()
+        cfg_d = SolverConfig(backend="dense", max_iterations=40)
+        cfg_c = SolverConfig(backend="chain", max_iterations=40,
+                             chain_offrank_capacity=8,
+                             chain_coupling_capacity=32)
+        (pd, _, _), sd = optimize_se3(g, level=0, config=cfg_d)
+        (pc, _, _), sc = optimize_se3(g, level=0, config=cfg_c)
+        assert float(sc.chi2_final) <= float(sd.chi2_final) * 1.001 + 1e-9
+        np.testing.assert_allclose(np.asarray(pc)[:n, :3],
+                                   np.asarray(pd)[:n, :3], atol=1e-4)
