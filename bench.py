@@ -457,6 +457,448 @@ def bench_pose_graph_cpu(n_nodes=4096, max_iters=30):
     return dt * 1000.0 / it, it, float(chi2), ate
 
 
+# --------------------------------------------------------- SE3 (hdl) bench
+#
+# The hdl capability set optimizes an SE3 pose chain + ONE floor-plane hub
+# vertex every keyframe shares an EdgeSE3Plane with (graph_slam.hpp:52-123,
+# launch/hdl_graph_slam_400.launch floor constraint). The TPU side runs the
+# hub-elimination direct solve (graph/hub_solve.py); the CPU baseline is a
+# f64 sparse robust LM with g2o's own differentiation strategy: analytic
+# EdgeSE3 jacobians (core g2o implements linearizeOplus) and NUMERIC
+# jacobians for EdgeSE3Plane (the reference's custom edges never override
+# linearizeOplus, include/g2o/edge_se3_plane.hpp — g2o differentiates them
+# numerically).
+
+def _np_hat(v):
+    E = v.shape[0]
+    H = np.zeros((E, 3, 3))
+    H[:, 0, 1], H[:, 0, 2] = -v[:, 2], v[:, 1]
+    H[:, 1, 0], H[:, 1, 2] = v[:, 2], -v[:, 0]
+    H[:, 2, 0], H[:, 2, 1] = -v[:, 1], v[:, 0]
+    return H
+
+
+def _np_q_to_R(q):
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.empty((len(q), 3, 3))
+    R[:, 0, 0] = 1 - 2 * (y * y + z * z)
+    R[:, 0, 1] = 2 * (x * y - w * z)
+    R[:, 0, 2] = 2 * (x * z + w * y)
+    R[:, 1, 0] = 2 * (x * y + w * z)
+    R[:, 1, 1] = 1 - 2 * (x * x + z * z)
+    R[:, 1, 2] = 2 * (y * z - w * x)
+    R[:, 2, 0] = 2 * (x * z - w * y)
+    R[:, 2, 1] = 2 * (y * z + w * x)
+    R[:, 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
+def _np_R_to_q(R):
+    """Batched rotation->quat (wxyz), w >= 0 canonical."""
+    E = R.shape[0]
+    q = np.empty((E, 4))
+    t = np.einsum("eii->e", R)
+    # stable four-case branch, vectorized by masks
+    c0 = t > 0
+    m = np.argmax(np.stack([R[:, 0, 0], R[:, 1, 1], R[:, 2, 2]], 1), axis=1)
+    for case in range(4):
+        if case == 0:
+            sel = c0
+            s = np.sqrt(np.maximum(t[sel] + 1.0, 1e-12)) * 2
+            q[sel, 0] = 0.25 * s
+            q[sel, 1] = (R[sel, 2, 1] - R[sel, 1, 2]) / s
+            q[sel, 2] = (R[sel, 0, 2] - R[sel, 2, 0]) / s
+            q[sel, 3] = (R[sel, 1, 0] - R[sel, 0, 1]) / s
+        else:
+            i = case - 1
+            j, k = (i + 1) % 3, (i + 2) % 3
+            sel = (~c0) & (m == i)
+            if not sel.any():
+                continue
+            s = np.sqrt(np.maximum(
+                1.0 + R[sel, i, i] - R[sel, j, j] - R[sel, k, k], 1e-12)) * 2
+            q[sel, 0] = (R[sel, k, j] - R[sel, j, k]) / s
+            q[sel, 1 + i] = 0.25 * s
+            q[sel, 1 + j] = (R[sel, j, i] + R[sel, i, j]) / s
+            q[sel, 1 + k] = (R[sel, k, i] + R[sel, i, k]) / s
+    flip = q[:, 0] < 0
+    q[flip] = -q[flip]
+    return q
+
+
+def _np_se3_exp(d):
+    """Batched se3 exp, d (E,6) = [rho, phi] -> (E,4,4)."""
+    rho, phi = d[:, :3], d[:, 3:]
+    th = np.linalg.norm(phi, axis=1, keepdims=True)
+    th = np.maximum(th, 1e-12)
+    a = phi / th
+    H = _np_hat(a)
+    s, c = np.sin(th)[:, :, None], np.cos(th)[:, :, None]
+    I = np.broadcast_to(np.eye(3), H.shape)
+    R = I + s * H + (1 - c) * (H @ H)
+    th1 = th[:, :, None]
+    V = I + ((1 - c) / th1) * H + ((th1 - s[:, :, 0][:, :, None]) / th1) * (H @ H)
+    # small-angle fallback
+    small = (th[:, 0] < 1e-7)
+    R[small] = np.eye(3) + _np_hat(phi[small])
+    V[small] = np.eye(3) + 0.5 * _np_hat(phi[small])
+    T = np.zeros((len(d), 4, 4))
+    T[:, :3, :3] = R
+    T[:, :3, 3] = (V @ rho[:, :, None])[:, :, 0]
+    T[:, 3, 3] = 1.0
+    return T
+
+
+def _np_pose7_oplus(p, d):
+    """Right-multiplicative pose update, batched."""
+    R = _np_q_to_R(p[:, 3:7])
+    E = _np_se3_exp(d)
+    Rn = R @ E[:, :3, :3]
+    tn = p[:, :3] + (R @ E[:, :3, 3][:, :, None])[:, :, 0]
+    return np.concatenate([tn, _np_R_to_q(Rn)], axis=1)
+
+
+def _np_plane_azel(n):
+    xy2 = n[:, 0] ** 2 + n[:, 1] ** 2
+    safe = xy2 > 1e-20
+    az = np.where(safe, np.arctan2(np.where(safe, n[:, 1], 0.0),
+                                   np.where(safe, n[:, 0], 1.0)), 0.0)
+    el = np.where(safe, np.arctan2(n[:, 2], np.sqrt(np.maximum(xy2, 1e-30))),
+                  np.where(n[:, 2] >= 0, np.pi / 2, -np.pi / 2))
+    return az, el
+
+
+def _np_plane_rotation(n):
+    az, el = _np_plane_azel(n)
+    ca, sa, ce, se = np.cos(az), np.sin(az), np.cos(el), np.sin(el)
+    R = np.empty((len(n), 3, 3))
+    R[:, 0] = np.stack([ca * ce, -sa, -ca * se], 1)
+    R[:, 1] = np.stack([sa * ce, ca, -sa * se], 1)
+    R[:, 2] = np.stack([se, np.zeros_like(ca), ce], 1)
+    return R
+
+
+def _np_plane_oplus(c, d):
+    az, el, dd = d[:, 0], d[:, 1], d[:, 2]
+    s, cc = np.sin(el), np.cos(el)
+    n_local = np.stack([cc * np.cos(az), cc * np.sin(az), s], 1)
+    R = _np_plane_rotation(c[:, :3])
+    n_new = (R @ n_local[:, :, None])[:, :, 0]
+    dist = -c[:, 3] + dd
+    out = np.concatenate([n_new, -dist[:, None]], 1)
+    return out / np.maximum(np.linalg.norm(out[:, :3], axis=1,
+                                           keepdims=True), 1e-12)
+
+
+def _np_error_se3_plane(poses, plane, meas):
+    """(T^-1 plane).ominus(meas), batched over edges. poses (E,7),
+    plane (E,4) (broadcast copy of the hub), meas (E,4)."""
+    R = _np_q_to_R(poses[:, 3:7])
+    n2 = (np.swapaxes(R, 1, 2) @ plane[:, :3, None])[:, :, 0]
+    tinv = -(np.swapaxes(R, 1, 2) @ poses[:, :3, None])[:, :, 0]
+    w2 = plane[:, 3] - np.sum(tinv * n2, axis=1)
+    # local.ominus(meas): meas normal in local's frame + distance diff
+    Rl = np.swapaxes(_np_plane_rotation(n2), 1, 2)
+    nm = (Rl @ meas[:, :3, None])[:, :, 0]
+    az, el = _np_plane_azel(nm)
+    dd = (-w2) - (-meas[:, 3])
+    return np.stack([az, el, dd], 1)
+
+
+def _se3_cpu_linearize(x, ei, ej, meas):
+    """Analytic EdgeSE3 residual+jacobians (right-mult oplus), f64 numpy.
+
+    e = [Rz^T(trel - tz); qvec(Rz^T Rrel)], trel = Ri^T(tj-ti),
+    Rrel = Ri^T Rj. Matches graph/se3_graph.py error_se3 and g2o
+    EdgeSE3::linearizeOplus semantics."""
+    pi, pj = x[ei], x[ej]
+    Ri = _np_q_to_R(pi[:, 3:7])
+    Rj = _np_q_to_R(pj[:, 3:7])
+    Rz = _np_q_to_R(meas[:, 3:7])
+    RiT = np.swapaxes(Ri, 1, 2)
+    trel = (RiT @ (pj[:, :3] - pi[:, :3])[:, :, None])[:, :, 0]
+    Rrel = RiT @ Rj
+    RzT = np.swapaxes(Rz, 1, 2)
+    td = (RzT @ (trel - meas[:, :3])[:, :, None])[:, :, 0]
+    Rd = RzT @ Rrel
+    q = _np_R_to_q(Rd)
+    r = np.concatenate([td, q[:, 1:4]], 1)
+
+    E = len(ei)
+    Q = 0.5 * (q[:, 0][:, None, None] * np.eye(3) + _np_hat(q[:, 1:4]))
+    Ji = np.zeros((E, 6, 6))
+    Ji[:, :3, :3] = -RzT
+    Ji[:, :3, 3:] = RzT @ _np_hat(trel)
+    Ji[:, 3:, 3:] = -(Q @ np.swapaxes(Rrel, 1, 2))
+    Jj = np.zeros((E, 6, 6))
+    Jj[:, :3, :3] = Rd
+    Jj[:, 3:, 3:] = Q
+    return r, Ji, Jj
+
+
+def _se3_plane_cpu_linearize(x, plane, pe, meas, h=1e-6):
+    """EdgeSE3Plane residual + NUMERIC jacobians (central differences in
+    the vertices' local charts) — exactly what g2o does for the custom
+    edge types, which never override linearizeOplus (include/g2o/)."""
+    poses = x[pe]
+    pl = np.broadcast_to(plane, (len(pe), 4))
+    r = _np_error_se3_plane(poses, pl, meas)
+    E = len(pe)
+    Jp = np.zeros((E, 3, 6))
+    for d in range(6):
+        dv = np.zeros((E, 6))
+        dv[:, d] = h
+        rp = _np_error_se3_plane(_np_pose7_oplus(poses, dv), pl, meas)
+        rm = _np_error_se3_plane(_np_pose7_oplus(poses, -dv), pl, meas)
+        Jp[:, :, d] = (rp - rm) / (2 * h)
+    Jl = np.zeros((E, 3, 3))
+    for d in range(3):
+        dv = np.zeros((E, 3))
+        dv[:, d] = h
+        rp = _np_error_se3_plane(poses, _np_plane_oplus(pl, dv), meas)
+        rm = _np_error_se3_plane(poses, _np_plane_oplus(pl, -dv), meas)
+        Jl[:, :, d] = (rp - rm) / (2 * h)
+    return r, Jp, Jl
+
+
+def _build_bench_graph_se3(n_nodes, rng_seed=7, plane_every=4):
+    """hdl-style SLAM graph: two-lap 3-D circular trajectory with noisy
+    SE3 odometry (drift in all 6 dof), lap loop closures (Huber), one
+    floor-plane hub vertex with an EdgeSE3Plane every ``plane_every``
+    keyframes (the reference wires the detected floor to ONE
+    g2o::VertexPlane), and a couple of xyz priors. Vertices initialize
+    by integrating the odometry. Returns (builder, gt_poses7)."""
+    from delta_graph_slam_tpu.graph import SE3GraphBuilder
+
+    rng = np.random.default_rng(rng_seed)
+    lap = n_nodes // 2
+    dyaw = 2.0 * np.pi / lap
+
+    def yaw_pose(k):
+        th = dyaw * k
+        radius = lap / (2 * np.pi)
+        t = np.array([radius * np.sin(th), radius * (1 - np.cos(th)), 0.0])
+        q = np.array([np.cos(th / 2), 0.0, 0.0, np.sin(th / 2)])
+        return np.concatenate([t, q])
+
+    gt = np.stack([yaw_pose(k) for k in range(n_nodes)])
+
+    def rel7(a, b):
+        Ra, Rb = _np_q_to_R(a[None, 3:7])[0], _np_q_to_R(b[None, 3:7])[0]
+        Rr = Ra.T @ Rb
+        tr = Ra.T @ (b[:3] - a[:3])
+        return np.concatenate([tr, _np_R_to_q(Rr[None])[0]])
+
+    def noisy(m, s_t, s_r):
+        d = np.concatenate([rng.normal(0, s_t, 3), rng.normal(0, s_r, 3)])
+        return _np_pose7_oplus(m[None], d[None])[0]
+
+    meas = [noisy(rel7(gt[k], gt[k + 1]), 0.01, 0.002)
+            for k in range(n_nodes - 1)]
+    init = np.zeros((n_nodes, 7))
+    init[0] = gt[0]
+    for k in range(1, n_nodes):
+        Ra = _np_q_to_R(init[None, k - 1, 3:7])[0]
+        Rm = _np_q_to_R(meas[k - 1][None, 3:7])[0]
+        init[k, :3] = init[k - 1, :3] + Ra @ meas[k - 1][:3]
+        init[k, 3:7] = _np_R_to_q((Ra @ Rm)[None])[0]
+
+    b = SE3GraphBuilder()
+    info6 = np.diag([100.0] * 3 + [400.0] * 3).astype(np.float64)
+    for k in range(n_nodes):
+        b.add_se3_node(init[k], fixed=(k == 0))
+    for k in range(n_nodes - 1):
+        b.add_se3_edge(k, k + 1, meas[k], info6)
+    for k in range(0, lap - 1, 100):
+        m = noisy(rel7(gt[k], gt[k + lap]), 0.005, 0.001)
+        b.add_se3_edge(k, k + lap, m, info6, kernel="Huber", delta=1.0)
+    # floor plane hub: z=0 detected in each keyframe's gt sensor frame
+    p0 = b.add_plane_node([0.0, 0.0, 1.0, 0.0])
+    info3 = np.diag([1.0, 1.0, 10.0])
+    plane_pe = []
+    for k in range(0, n_nodes, plane_every):
+        R = _np_q_to_R(gt[None, k, 3:7])[0]
+        n_local = R.T @ np.array([0.0, 0.0, 1.0])
+        w_local = 0.0 - float(n_local @ (R.T @ (-gt[k, :3])))
+        # transform_plane(T^-1, plane): n'=R^T n, w' = w - (-R^T t).n'
+        b.add_se3_plane_edge(k, p0, np.concatenate([n_local, [w_local]]),
+                             info3)
+        plane_pe.append(k)
+    b.add_se3_prior_xyz_edge(1, gt[1, :3], np.eye(3) * 10)
+    return b, gt
+
+
+def bench_pose_graph_se3(n_nodes=4096, max_iters=20):
+    """TPU SE3 LM (chain + hub-elimination direct solve) on the hdl bench
+    graph. Returns (ms_per_iter, iters, final_chi2, ate)."""
+    from delta_graph_slam_tpu.graph import SolverConfig, optimize_se3
+
+    b, gt = _build_bench_graph_se3(n_nodes)
+    g = b.to_arrays(dtype=np.float32)
+    cfg = SolverConfig(backend="chain", max_iterations=max_iters)
+    (poses, planes, points), stats = optimize_se3(g, level=0, config=cfg)
+    float(stats.chi2_final)                    # scalar-fetch sync
+
+    t0 = time.perf_counter()
+    (poses, planes, points), stats = optimize_se3(g, level=0, config=cfg)
+    poses_np = np.asarray(poses)
+    dt = time.perf_counter() - t0
+    iters = max(int(stats.iterations), 1)
+    ate = float(np.mean(np.linalg.norm(
+        poses_np[:n_nodes, :3] - gt[:, :3], axis=1)))
+    return dt * 1000.0 / iters, iters, float(stats.chi2_final), ate
+
+
+def bench_pose_graph_se3_cpu(n_nodes=4096, max_iters=20):
+    """Measured CPU baseline for the SE3/hdl graph: f64 sparse robust LM
+    (SuperLU), analytic EdgeSE3 jacobians + g2o-faithful numeric
+    EdgeSE3Plane jacobians. Returns (ms_per_iter, iters, chi2, ate)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spl
+
+    b, gt = _build_bench_graph_se3(n_nodes)
+    V = n_nodes
+    x = np.stack(b.poses).astype(np.float64)
+    plane = np.asarray(b.planes[0], np.float64)
+
+    se3 = [e for e in b.edges if e["type"] == "se3"]
+    ei = np.asarray([e["i"] for e in se3])
+    ej = np.asarray([e["j"] for e in se3])
+    meas = np.stack([e["meas"] for e in se3]).astype(np.float64)
+    infos = np.stack([e["info"] for e in se3]).astype(np.float64)
+    huber = np.asarray([e["kernel"] == 1 for e in se3])
+    delta_k = np.asarray([e["delta"] for e in se3], np.float64)
+
+    ple = [e for e in b.edges if e["type"] == "se3plane"]
+    pe = np.asarray([e["i"] for e in ple])
+    pmeas = np.stack([e["meas"] for e in ple]).astype(np.float64)
+    pinfo = np.stack([e["info"] for e in ple]).astype(np.float64)
+
+    xyz = [e for e in b.edges if e["type"] == "xyz"]
+    xi = np.asarray([e["i"] for e in xyz])
+    xmeas = np.stack([e["meas"] for e in xyz]).astype(np.float64)
+    xinfo = np.stack([e["info"] for e in xyz]).astype(np.float64)
+
+    NP = 6 * V + 3     # plane packed at the tail
+    a6 = np.arange(6)
+
+    def blk_idx(rows_v, cols_v, rd, cd):
+        rr = (6 * rows_v[:, None, None] + np.arange(rd)[None, :, None])
+        cc = (6 * cols_v[:, None, None] + np.arange(cd)[None, None, :])
+        return (np.broadcast_to(rr, (len(rows_v), rd, cd)).ravel(),
+                np.broadcast_to(cc, (len(rows_v), rd, cd)).ravel())
+
+    def total_chi2(x, plane):
+        r, _, _ = _se3_cpu_linearize(x, ei, ej, meas)
+        e2 = np.einsum("ea,eab,eb->e", r, infos, r)
+        d2 = delta_k ** 2
+        out = huber & (e2 > d2)
+        rho = np.where(out, 2 * delta_k * np.sqrt(np.maximum(e2, 1e-30)) - d2,
+                       e2).sum()
+        rp = _np_error_se3_plane(x[pe], np.broadcast_to(plane, (len(pe), 4)),
+                                 pmeas)
+        rho += np.einsum("ea,eab,eb->e", rp, pinfo, rp).sum()
+        rx = x[xi, :3] - xmeas
+        rho += np.einsum("ea,eab,eb->e", rx, xinfo, rx).sum()
+        return rho
+
+    lam, nu = 1e-5 * 400.0, 2.0
+    chi2 = total_chi2(x, plane)
+    it = 0
+    t0 = time.perf_counter()
+    while it < max_iters:
+        r, Ji, Jj = _se3_cpu_linearize(x, ei, ej, meas)
+        e2 = np.einsum("ea,eab,eb->e", r, infos, r)
+        w = np.where(huber & (e2 > delta_k ** 2),
+                     delta_k / np.sqrt(np.maximum(e2, 1e-30)), 1.0)
+        Wf = infos * w[:, None, None]
+        rp, Jp, Jl = _se3_plane_cpu_linearize(x, plane, pe, pmeas)
+        rx = x[xi, :3] - xmeas
+        Jx = _np_q_to_R(x[xi, 3:7])       # d(t)/d rho = R (right-mult)
+
+        rows, cols, vals = [], [], []
+        bvec = np.zeros(NP)
+
+        def add(rv, cv, M):
+            rows.append(rv)
+            cols.append(cv)
+            vals.append(M.ravel())
+
+        JiT_W = np.einsum("eba,ebc->eac", Ji, Wf)
+        JjT_W = np.einsum("eba,ebc->eac", Jj, Wf)
+        r_, c_ = blk_idx(ei, ei, 6, 6)
+        add(r_, c_, JiT_W @ Ji)
+        r_, c_ = blk_idx(ei, ej, 6, 6)
+        add(r_, c_, JiT_W @ Jj)
+        r_, c_ = blk_idx(ej, ei, 6, 6)
+        add(r_, c_, JjT_W @ Ji)
+        r_, c_ = blk_idx(ej, ej, 6, 6)
+        add(r_, c_, JjT_W @ Jj)
+        np.add.at(bvec, (6 * ei[:, None] + a6).ravel(),
+                  np.einsum("eab,eb->ea", JiT_W, r).ravel())
+        np.add.at(bvec, (6 * ej[:, None] + a6).ravel(),
+                  np.einsum("eab,eb->ea", JjT_W, r).ravel())
+
+        JpT_W = np.einsum("eba,ebc->eac", Jp, pinfo)
+        JlT_W = np.einsum("eba,ebc->eac", Jl, pinfo)
+        r_, c_ = blk_idx(pe, pe, 6, 6)
+        add(r_, c_, JpT_W @ Jp)
+        # plane block occupies dims [6V, 6V+3)
+        rr = (6 * pe[:, None, None] + a6[None, :, None])
+        cc = (6 * V + np.arange(3))[None, None, :]
+        add(np.broadcast_to(rr, (len(pe), 6, 3)).ravel(),
+            np.broadcast_to(cc, (len(pe), 6, 3)).ravel(), JpT_W @ Jl)
+        rr2 = (6 * V + np.arange(3))[None, :, None]
+        cc2 = (6 * pe[:, None, None] + a6[None, None, :])
+        add(np.broadcast_to(rr2, (len(pe), 3, 6)).ravel(),
+            np.broadcast_to(cc2, (len(pe), 3, 6)).ravel(), JlT_W @ Jp)
+        rr3 = (6 * V + np.arange(3))[None, :, None]
+        cc3 = (6 * V + np.arange(3))[None, None, :]
+        add(np.broadcast_to(rr3, (len(pe), 3, 3)).ravel(),
+            np.broadcast_to(cc3, (len(pe), 3, 3)).ravel(), JlT_W @ Jl)
+        np.add.at(bvec, (6 * pe[:, None] + a6).ravel(),
+                  np.einsum("eab,eb->ea", JpT_W, rp).ravel())
+        np.add.at(bvec, 6 * V + np.arange(3),
+                  np.einsum("eab,eb->ea", JlT_W, rp).sum(0))
+
+        # xyz prior: e = t - m, right-mult oplus moves t by R rho -> J = R
+        rr4 = (6 * xi[:, None, None] + np.arange(3)[None, :, None])
+        cc4 = (6 * xi[:, None, None] + np.arange(3)[None, None, :])
+        add(np.broadcast_to(rr4, (len(xi), 3, 3)).ravel(),
+            np.broadcast_to(cc4, (len(xi), 3, 3)).ravel(),
+            np.einsum("eba,ebc->eac", Jx, xinfo) @ Jx)
+        np.add.at(bvec, (6 * xi[:, None] + np.arange(3)).ravel(),
+                  np.einsum("eba,ebc,ec->ea", Jx, xinfo, rx).ravel())
+
+        # gauge: clamp vertex 0
+        add(np.arange(6), np.arange(6), np.full(6, 1e12))
+
+        H = sp.coo_matrix(
+            (np.concatenate(vals),
+             (np.concatenate(rows), np.concatenate(cols))),
+            shape=(NP, NP)).tocsc()
+        H = H + sp.identity(NP, format="csc") * lam
+        dx = spl.splu(H).solve(-bvec)
+        xt = _np_pose7_oplus(x, dx[:6 * V].reshape(V, 6))
+        plt = _np_plane_oplus(plane[None], dx[6 * V:][None])[0]
+        chi2_t = total_chi2(xt, plt)
+        denom = np.sum(dx * (lam * dx - bvec))
+        rho_g = (chi2 - chi2_t) / max(abs(denom), 1e-30)
+        if chi2_t < chi2:
+            x, plane, chi2 = xt, plt, chi2_t
+            lam *= max(1.0 / 3.0, 1.0 - (2 * rho_g - 1) ** 3)
+            nu = 2.0
+        else:
+            lam *= nu
+            nu *= 2.0
+        it += 1
+        if lam > 1e12:
+            break
+    dt = time.perf_counter() - t0
+    ate = float(np.mean(np.linalg.norm(x[:, :3] - gt[:, :3], axis=1)))
+    return dt * 1000.0 / it, it, float(chi2), ate
+
+
 def main():
     platform = jax.devices()[0].platform
     # CPU baselines FIRST: measured 4x inflated when run after the TPU
@@ -465,12 +907,15 @@ def main():
     cpu_lm_ms_16k, _, cpu_chi2_16k, cpu_ate_16k = bench_pose_graph_cpu(
         n_nodes=16384, max_iters=8
     )
+    (se3_cpu_ms, se3_cpu_iters, se3_cpu_chi2,
+     se3_cpu_ate) = bench_pose_graph_se3_cpu()
     e2e_sps, n_kf, stage_ms = bench_e2e()
     (odo_sps, n_swaps, err_t, aligned_single, aligned_best,
      conv_rate) = bench_registration()
     lm_ms, lm_iters, lm_chi2, lm_ate = bench_pose_graph()
     lm_ms_16k, _, lm_chi2_16k, lm_ate_16k = bench_pose_graph(n_nodes=16384)
     inc_ms, inc_cycles, inc_chi2, inc_ate = bench_pose_graph_incremental()
+    se3_ms, se3_iters, se3_chi2, se3_ate = bench_pose_graph_se3()
 
     result = {
         "metric": "e2e_scans_per_sec",
@@ -518,6 +963,18 @@ def main():
         "incremental_nodes": 16384,
         "incremental_final_chi2": round(inc_chi2, 4),
         "incremental_ate_vs_gt_m": round(inc_ate, 4),
+        # -- SE3/hdl pose graph (chain + hub-elimination direct solve) vs
+        # a f64 sparse robust-LM CPU baseline with g2o's differentiation
+        # strategy (analytic EdgeSE3, numeric EdgeSE3Plane)
+        "se3_lm_ms_per_iter": round(se3_ms, 3),
+        "se3_nodes": 4096,
+        "se3_lm_iters": se3_iters,
+        "se3_final_chi2": round(se3_chi2, 4),
+        "se3_ate_vs_gt_m": round(se3_ate, 4),
+        "se3_cpu_ms_per_iter": round(se3_cpu_ms, 3),
+        "se3_cpu_final_chi2": round(se3_cpu_chi2, 4),
+        "se3_cpu_ate_m": round(se3_cpu_ate, 4),
+        "se3_lm_speedup_vs_cpu": round(se3_cpu_ms / max(se3_ms, 1e-9), 2),
     }
     print(json.dumps(result))
 

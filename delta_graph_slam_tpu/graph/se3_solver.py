@@ -264,9 +264,27 @@ def optimize_se3(graph: SE3Graph, level=0, config: SolverConfig = None):
     slot is a hub vertex eliminated via its small dense block."""
     config = config or SolverConfig()
     if config.backend == "chain":
+        import numpy as np
+
         n_hub = graph.planes.shape[0] + graph.points.shape[0]
-        if config.chain_hubs != n_hub:
-            config = dataclasses.replace(config, chain_hubs=n_hub)
+        # coupling capacity: every pose<->hub edge comes from the
+        # se3_plane / se3_point tables, so their (static) capacities are
+        # an exact bound. Loop capacity: host-counted off-chain se3
+        # edges, pow2-bucketed so graph growth reuses compiled programs.
+        coup_cap = (graph.se3_plane.i.shape[0]
+                    + graph.se3_point.i.shape[0])
+        ei = np.asarray(graph.edges.i)
+        ej = np.asarray(graph.edges.j)
+        em = np.asarray(graph.edges.mask)
+        n_off = int(np.sum(em & (np.abs(ei - ej) > 1)))
+        k = 4
+        while k < n_off:
+            k *= 2
+        if (config.chain_hubs, config.chain_coupling_capacity,
+                config.chain_offrank_capacity) != (n_hub, coup_cap, k):
+            config = dataclasses.replace(
+                config, chain_hubs=n_hub, chain_coupling_capacity=coup_cap,
+                chain_offrank_capacity=k)
     if config not in _OPT_CACHE:
         _OPT_CACHE[config] = jax.jit(_make_optimize(config))
     return _OPT_CACHE[config](graph, jnp.asarray(level, jnp.int32))

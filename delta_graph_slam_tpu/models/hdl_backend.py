@@ -80,7 +80,12 @@ class HdlBackendConfig:
         default_factory=lambda: RegistrationConfig(method="NDT_OMP",
                                                    resolution=1.0)
     )
-    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    # chain backend = direct df BCR + hub elimination (graph/hub_solve.py):
+    # the floor plane is a hub vertex every keyframe shares an edge with,
+    # which the CG backend demonstrably under-converges on (NOTES_r2) and
+    # edge-based Woodbury cannot absorb (K grows with the trajectory)
+    solver: SolverConfig = dataclasses.field(
+        default_factory=lambda: SolverConfig(backend="chain"))
     inf: InformationMatrixCalculator = dataclasses.field(
         default_factory=InformationMatrixCalculator
     )
