@@ -141,12 +141,15 @@ def bench_multibag(n_frames=12, n_points=8192):
 
 
 def main():
-    import jax
-
-    if (len(jax.devices()) < N_DEVICES
-            and not os.environ.get("_DGS_BENCH_CHILD")):
+    # respawn BEFORE any jax backend init: this bench is CPU-mesh-only by
+    # design, and merely counting devices would initialize (and hang on)
+    # an unreachable TPU tunnel.
+    if not os.environ.get("_DGS_BENCH_CHILD"):
         _respawn()
         return
+    import jax
+
+    assert len(jax.devices()) >= N_DEVICES, jax.devices()
     bench_sharded_lm()
     bench_multibag()
 

@@ -340,6 +340,15 @@ def lm_se2_chain(graph, level, free, cfg: SolverConfig, n_edges_total):
                    bundle.tail.Jj[order] * gate, bundle.tail.W[order] * gate)
         with jax.default_matmul_precision("highest"):
             if cfg.chain_segments > 1:
+                if cfg.chain_local_cols > 0 and off is not None:
+                    from ..parallel.spike import spike_local_solve_df
+
+                    dx, _ = spike_local_solve_df(
+                        Ad, Bd, -bundle.b, free, N, p=cfg.chain_segments,
+                        off=off, Lc=cfg.chain_local_cols,
+                        mesh_axis=cfg.chain_mesh_axis,
+                    )
+                    return dx
                 from ..parallel.spike import spike_core_solve_df
 
                 return spike_core_solve_df(

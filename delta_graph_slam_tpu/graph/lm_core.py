@@ -71,6 +71,15 @@ class SolverConfig:
     # mesh axis name the segment dimension is sharding-constrained to
     # (None = run the batched form unsharded)
     chain_mesh_axis: str = None
+    # > 0 (with chain_segments > 1) routes the segmented solve through
+    # the locality-aware Woodbury (parallel/spike.py
+    # spike_local_solve_df): each segment sweeps its BCR factor over
+    # [b | its 2 interfaces | up to chain_local_cols endpoint slots]
+    # instead of the full [b | U | C^T] — the wide df apply that
+    # dominates large-graph iterations. Size to ~2 * ceil(2K/p); edges
+    # whose endpoints overflow a segment's slots are dropped from the
+    # correction (counted in n_offchain_dropped).
+    chain_local_cols: int = 0
 
 
 class SolverStats(NamedTuple):

@@ -106,6 +106,88 @@ class TestSpikeCore:
         assert np.max(np.abs(x_spike - x_ref)) < 1e-4 * np.abs(x_ref).max()
 
 
+class TestSpikeLocal:
+    """Locality-aware per-segment column packing (spike_local_solve_df)
+    must reproduce the full-width SPIKE/Woodbury solve exactly: same
+    algebra, only the structurally-zero RHS columns are skipped."""
+
+    def test_matches_core_and_f64(self):
+        from delta_graph_slam_tpu.parallel.spike import spike_local_solve_df
+
+        N = 64
+        Ad, Bd, b, off, x_ref = _random_system(N)
+        free = jnp.ones((N, 3), jnp.float32)
+        x_core = np.asarray(
+            spike_core_solve_df(Ad, Bd, b, free, N, p=4, off=off)
+        )
+        scale = np.abs(x_ref).max()
+        # one (p, Lc) in the fast gate; the df programs cost ~1 min of
+        # XLA:CPU compile each (on TPU they compile in seconds)
+        for p, Lc in ((4, 8),):
+            x_loc, n_drop = spike_local_solve_df(
+                Ad, Bd, b, free, N, p=p, off=off, Lc=Lc
+            )
+            assert int(n_drop) == 0, (p, Lc)
+            x_loc = np.asarray(x_loc)
+            assert np.max(np.abs(x_loc - x_core)) < 1e-5 * scale, (p, Lc)
+            assert np.max(np.abs(x_loc - x_ref)) < 1e-4 * scale, (p, Lc)
+
+    def test_intra_segment_edge(self):
+        """Both endpoints of an edge in ONE segment: its two endpoint
+        slots map to the same global capacitance column (the cross-slot
+        df_add accumulation path)."""
+        from delta_graph_slam_tpu.parallel.spike import spike_local_solve_df
+
+        N = 64
+        Ad, Bd, b, off, x_ref = _random_system(N, K=4, seed=5)
+        ei, ej, Ji, Jj, W = off
+        # force all edges inside segment 0 of p=2 (rows < 32)
+        ei = jnp.asarray([3, 7, 11, 2], jnp.int32)
+        ej = jnp.asarray([20, 29, 25, 17], jnp.int32)
+        off = (ei, ej, Ji, Jj, W)
+        x_core = np.asarray(
+            spike_core_solve_df(Ad, Bd, b,
+                                jnp.ones((N, 3), jnp.float32), N, p=2,
+                                off=off)
+        )
+        x_loc, n_drop = spike_local_solve_df(
+            Ad, Bd, b, jnp.ones((N, 3), jnp.float32), N, p=2, off=off,
+            Lc=8,
+        )
+        assert int(n_drop) == 0
+        assert np.max(np.abs(np.asarray(x_loc) - x_core)) < 1e-5 * max(
+            1.0, np.abs(x_core).max()
+        )
+
+    def test_overflow_drops_whole_edge(self):
+        """Slot overflow must drop complete edges (consistent weaker
+        system), matching the core solve with those edges zero-weighted."""
+        from delta_graph_slam_tpu.parallel.spike import spike_local_solve_df
+
+        N = 64
+        Ad, Bd, b, off, _ = _random_system(N, K=6, seed=9)
+        ei, ej, Ji, Jj, W = off
+        # all i-endpoints into segment 0 (p=2, m=32): Lc=4 overflows
+        ei = jnp.asarray([1, 2, 3, 4, 5, 6], jnp.int32)
+        ej = jnp.asarray([40, 45, 50, 55, 58, 60], jnp.int32)
+        off = (ei, ej, Ji, Jj, W)
+        free = jnp.ones((N, 3), jnp.float32)
+        x_loc, n_drop = spike_local_solve_df(
+            Ad, Bd, b, free, N, p=2, off=off, Lc=4
+        )
+        assert int(n_drop) == 2
+        # the packed order is by (segment, entry id): entries 4 and 5
+        # (edges 4, 5) overflow. Core solve with those edges removed:
+        W_w = W.at[4:].set(0.0)
+        x_core = np.asarray(
+            spike_core_solve_df(Ad, Bd, b, free, N, p=2,
+                                off=(ei, ej, Ji, Jj, W_w))
+        )
+        assert np.max(np.abs(np.asarray(x_loc) - x_core)) < 1e-5 * max(
+            1.0, np.abs(x_core).max()
+        )
+
+
 @pytest.mark.slow
 class TestSpikeLM:
     """LM-level parity: the df chain programs at n=96 cost ~2 min of
