@@ -222,17 +222,24 @@ def _build_bench_graph(n_nodes, rng_seed=7, dtype=np.float32):
     return b, gt
 
 
-def bench_pose_graph(n_nodes=4096, backend="chain", max_iters=30):
+def bench_pose_graph(n_nodes=4096, backend="chain", max_iters=30,
+                     segments=0, local_cols=0):
     """TPU LM on the bench graph. The off-chain capacity is bucketed from
     the host-known loop count (off_hint), mirroring the delta backend.
-    Returns (ms_per_iter, iters, final_chi2, ate)."""
+    segments/local_cols > 0 route the solve through the SPIKE
+    substructuring (parallel/spike.py) run UNSHARDED on one chip: fewer
+    sequential BCR levels (log2(N/p) vs log2(N)) batched over the p
+    segments, and with local_cols each segment sweeps only its own
+    [b | interfaces | endpoint slots] columns instead of the full
+    [b | U | C^T] width. Returns (ms_per_iter, iters, final_chi2, ate)."""
     from delta_graph_slam_tpu.graph import SolverConfig, optimize_se2
 
     b, gt = _build_bench_graph(n_nodes)
     chain = backend == "chain"
     g = b.to_arrays(chain_first=chain)
     nc = g.poses.shape[0] - 1 if chain else 0
-    cfg = SolverConfig(backend=backend, max_iterations=max_iters)
+    cfg = SolverConfig(backend=backend, max_iterations=max_iters,
+                       chain_segments=segments, chain_local_cols=local_cols)
     hint = b.count_offchain(0)
     poses, stats = optimize_se2(g, level=0, config=cfg, off_hint=hint,
                                 n_chain=nc)

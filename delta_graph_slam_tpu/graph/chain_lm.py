@@ -311,6 +311,17 @@ def lm_se2_chain(graph, level, free, cfg: SolverConfig, n_edges_total):
     off_i = bundle0.tail.i[order]
     off_j = bundle0.tail.j[order]
     n_drop = (jnp.sum(t_off0) - jnp.sum(live)).astype(jnp.int32)
+    if (cfg.chain_segments > 1 and cfg.chain_local_cols > 0
+            and K_cap > 0):
+        # the locality-aware sharded solve additionally drops edges whose
+        # endpoints overflow a segment's Lc slots; the packing is static
+        # per (graph, level), so count it once here and surface it
+        from ..parallel.spike import spike_local_dropped
+
+        n_drop = n_drop + spike_local_dropped(
+            off_i, off_j, live, N, cfg.chain_segments,
+            cfg.chain_local_cols,
+        )
 
     # lam0 = tau * max |diag H| over free dims (g2o Levenberg init);
     # off-chain rows add their diagonal contributions on top of A0's

@@ -277,7 +277,18 @@ def _inv_blocks(A):
     """Batched small-block inverse. For D=3 use the closed-form adjugate
     (a handful of fused elementwise ops) — jnp.linalg.inv lowers to a
     pivoted LU whose tiny sequential steps dominate the BCR factor time
-    on TPU. Falls back to linalg.inv for other D."""
+    on TPU. Falls back to linalg.inv for other D.
+
+    Stability (ADVICE r2): the adjugate inverse is less robust than
+    pivoted LU for near-singular blocks, but every block inverted here
+    is an SPD reduced diagonal block of T = H + lam*I with lam >=
+    lm_tau * max|diag H| (lm_core lam0) — and every reduced block of an
+    SPD matrix is itself SPD with lambda_min bounded below by
+    lambda_min(T) >= lam (Schur complements of SPD matrices cannot fall
+    below the global spectral floor), so det never approaches zero at
+    any elimination level. The f32 path is additionally restricted to
+    small N (chain_precision docs); the df path uses df_invD's
+    compensated adjugate."""
     if A.shape[-1] == 3:
         a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
         d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]

@@ -511,6 +511,26 @@ class DeltaBackend:
             return []
         poses = self.poses
         lines = [b.get_lines(poses) for b in bs]
+        # the batched stack below requires one shared line capacity; pad
+        # up if a provider ever emits per-polygon capacities (make_lines
+        # supports them — ADVICE r2: do not let this become a runtime
+        # shape error)
+        Lmax = max(ln.a.shape[0] for ln in lines)
+        if any(ln.a.shape[0] != Lmax for ln in lines):
+            def _pad_ln(ln):
+                n = Lmax - ln.a.shape[0]
+                if n == 0:
+                    return ln
+                z2 = jnp.zeros((n, 2), ln.a.dtype)
+                return ln._replace(
+                    a=jnp.concatenate([ln.a, z2]),
+                    b=jnp.concatenate([ln.b, z2]),
+                    mask=jnp.concatenate(
+                        [ln.mask, jnp.zeros((n,), ln.mask.dtype)]
+                    ),
+                )
+
+            lines = [_pad_ln(ln) for ln in lines]
         ests = [np.asarray(b.estimate(poses), np.float32) for b in bs]
         pairs = [(i, j) for i in range(len(bs)) for j in range(i + 1, len(bs))]
         P = len(pairs)

@@ -278,6 +278,19 @@ def _pack_endpoint_slots(ei, ej, live, m, p, Lc):
     return table, edge_dropped
 
 
+def spike_local_dropped(ei, ej, live, N, p, Lc):
+    """Edges the locality-aware solve will drop for (N, p, Lc) — the
+    packing depends only on the off-chain SET (robust weights never zero
+    an active edge), so callers can hoist this out of the LM loop and
+    surface it in SolverStats (ADVICE r2: overflow must be visible)."""
+    m = -(-N // p)
+    m = 1 << max(m - 1, 1).bit_length() if m & (m - 1) else m
+    _, edge_dropped = _pack_endpoint_slots(
+        ei.astype(jnp.int32), ej.astype(jnp.int32), live, m, p, Lc
+    )
+    return jnp.sum(edge_dropped).astype(jnp.int32)
+
+
 def spike_local_solve_df(Ad, Bd, b, free, N, p, off, Lc, mesh_axis=None):
     """Solve T x = b like spike_core_solve_df, sweeping only local columns.
 
