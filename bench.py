@@ -92,6 +92,12 @@ def bench_e2e(n_frames=36, warmup_frames=10):
     pipe.backend.optimization_step()
     pipe.backend.optimization_step()
 
+    # stage means must reflect the steady state, not the 20-60 s remote
+    # compiles of the warmup frames (which used to pollute e2e_stage_ms
+    # into meaninglessness: prefilter "2.4 s/frame" vs 38 ms warm)
+    pipe.timer.reset()
+    pipe.backend.timer.reset()
+
     t0 = time.perf_counter()
     for fr in frames[warmup_frames:]:
         pipe.on_gps(fr.stamp, *fr.gps)
@@ -100,7 +106,8 @@ def bench_e2e(n_frames=36, warmup_frames=10):
     dt = time.perf_counter() - t0
     pipe.finish()
     stage_ms = {
-        k: round(v["mean_ms"], 1) if isinstance(v, dict) else round(v, 1)
+        k: {"mean_ms": round(v["mean_ms"], 1), "n": v["count"]}
+        if isinstance(v, dict) else round(v, 1)
         for k, v in pipe.timing_summary().items()
     }
     return n_frames / dt, len(pipe.backend.keyframes), stage_ms
@@ -174,13 +181,20 @@ def bench_registration(n_points=16384):
             conv_rate)
 
 
-def _build_bench_graph(n_nodes, rng_seed=7, dtype=np.float32):
-    """Realistic SLAM graph: two laps around a circle with noisy odometry,
-    vertices initialized by *integrating* that odometry (the only init a
-    real frontend has — the graph is consistent, all initial error lives
-    in the loop residuals), and genuine lap-to-lap loop closures (node k
-    revisits node k + n/2). The drift is observable, so post-solve ATE vs
-    ground truth is a meaningful quality metric. Returns (builder, gt)."""
+def _build_bench_graph(n_nodes, rng_seed=7, dtype=np.float32, n_laps=2):
+    """Realistic SLAM graph: ``n_laps`` laps around a circle with noisy
+    odometry, vertices initialized by *integrating* that odometry (the
+    only init a real frontend has — the graph is consistent, all initial
+    error lives in the loop residuals), and genuine lap-to-lap loop
+    closures (node k revisits node k + lap on every later lap). The
+    drift is observable, so post-solve ATE vs ground truth is a
+    meaningful quality metric.
+
+    n_laps controls loop-closure density: 2 laps means loops only exist
+    between the first and second half (drift grows unconstrained for
+    n/2 nodes — the strongly nonconvex cold-start case); more laps means
+    revisits every lap, the shape of a real urban session (KITTI 0027
+    re-drives streets continuously). Returns (builder, gt)."""
     from delta_graph_slam_tpu.graph import SE2GraphBuilder
 
     def wrap(a):
@@ -198,7 +212,7 @@ def _build_bench_graph(n_nodes, rng_seed=7, dtype=np.float32):
                          wrap(bb[2] - a[2])])
 
     rng = np.random.default_rng(rng_seed)
-    lap = n_nodes // 2
+    lap = n_nodes // n_laps
     dyaw = 2.0 * np.pi / lap
     gt = np.zeros((n_nodes, 3), np.float64)
     for k in range(1, n_nodes):
@@ -216,9 +230,10 @@ def _build_bench_graph(n_nodes, rng_seed=7, dtype=np.float32):
         b.add_vertex(init[k], fixed=(k == 0))
     for k in range(n_nodes - 1):
         b.add_se2_edge(k, k + 1, meas[k], info)
-    for k in range(0, lap - 1, 100):
-        m = rel(gt[k], gt[k + lap]) + rng.normal(0, 0.005, 3)
-        b.add_se2_edge(k, k + lap, m, info, kernel="Huber", delta=1.0)
+    for left in range(0, n_nodes - lap, lap):
+        for k in range(left, left + lap - 1, 100):
+            m = rel(gt[k], gt[k + lap]) + rng.normal(0, 0.005, 3)
+            b.add_se2_edge(k, k + lap, m, info, kernel="Huber", delta=1.0)
     return b, gt
 
 
@@ -260,18 +275,34 @@ def bench_pose_graph(n_nodes=4096, backend="chain", max_iters=30,
     return dt * 1000.0 / iters, iters, float(stats.chi2_final), ate
 
 
-def bench_pose_graph_incremental(n_nodes=16384, chunk=64, backend="chain"):
+def bench_pose_graph_incremental(n_nodes=16384, chunk=64, backend="chain",
+                                 n_laps=8):
     """The reference's actual solver regime: the graph grows and is
     re-optimized every cycle warm-started from the previous solution
     (3 s wall-timer, apps/delta_graph_slam_nodelet.cpp:793-927). Grows
-    the two-lap graph ``chunk`` keyframes per cycle at fixed capacity
-    (one compile) and re-optimizes with a per-cycle LM budget.
+    the graph ``chunk`` keyframes per cycle at fixed capacity (one
+    compile) and re-optimizes with a per-cycle LM budget.
 
-    Returns (ms_per_cycle, n_cycles, final_chi2, ate)."""
+    n_laps=8: revisits every lap (2048 nodes), the loop-closure density
+    of a real urban session — loops activate throughout the run and the
+    warm-started solver keeps drift bounded, instead of the 2-lap
+    pathology where 8k nodes of unconstrained drift meet Huber-clamped
+    loop residuals all at once (which no LM — g2o included — descends
+    out of; measured ATE 137 m for ours AND the f64 CPU baseline).
+
+    Quality contract (VERDICT r2 #2): chi2_ratio = final chi2 of the
+    full graph after the LAST warm-started cycle divided by the full
+    graph's chi2 at its odometry-integrated (cold) init — the warm
+    cadence must keep the graph essentially converged. excess measures
+    the remaining gap to a fully converged solve: chi2_final /
+    chi2(40 extra LM iters from the incremental solution).
+
+    Returns (ms_per_cycle, n_cycles, final_chi2, ate, chi2_ratio,
+    excess_vs_converged)."""
     from delta_graph_slam_tpu.graph import SolverConfig, optimize_se2
     from delta_graph_slam_tpu.graph.se2_graph import SE2Graph
 
-    full, gt = _build_bench_graph(n_nodes)
+    full, gt = _build_bench_graph(n_nodes, n_laps=n_laps)
     chain = backend == "chain"
     g_full = full.to_arrays(chain_first=chain)
     nc = g_full.poses.shape[0] - 1 if chain else 0
@@ -321,7 +352,25 @@ def bench_pose_graph_incremental(n_nodes=16384, chunk=64, backend="chain"):
     ate = float(np.mean(np.linalg.norm(
         poses_np[:n_nodes, :2] - gt[:, :2], axis=1
     )))
-    return dt * 1000.0 / n_cycles, n_cycles, final_chi2, ate
+    # cold chi2 of the FULL graph at its odometry-integrated init (what
+    # a cold start would face) and the converged anchor (40 more iters
+    # from the incremental solution) — both outside the timed window
+    _, st_cold = optimize_se2(
+        sub(n_nodes, g_full.poses), level=0,
+        config=dataclasses.replace(cfg, max_iterations=0),
+        off_hint=hint, n_chain=nc,
+    )
+    chi2_cold = float(st_cold.chi2_initial)
+    _, st_conv = optimize_se2(
+        sub(n_nodes, jnp.asarray(poses)), level=0,
+        config=dataclasses.replace(cfg, max_iterations=40),
+        off_hint=hint, n_chain=nc,
+    )
+    chi2_conv = float(st_conv.chi2_final)
+    chi2_ratio = final_chi2 / max(chi2_cold, 1e-9)
+    excess = final_chi2 / max(chi2_conv, 1e-9)
+    return (dt * 1000.0 / n_cycles, n_cycles, final_chi2, ate,
+            chi2_ratio, excess)
 
 
 def _cpu_graph_arrays(b):
@@ -557,12 +606,21 @@ def _np_se3_exp(d):
 
 
 def _np_pose7_oplus(p, d):
-    """Right-multiplicative pose update, batched."""
+    """Right-multiplicative pose update, batched.
+
+    The output quaternion is explicitly renormalized: the q -> R -> q
+    round trip is only unit to rounding, and iterated composition
+    compounds that multiplicatively (measured |q| up to 25.8 after 4k
+    odometry-integration steps, i.e. kilometers of position drift from
+    pure float noise). Eigen's quaternion product keeps unit norm the
+    same way."""
     R = _np_q_to_R(p[:, 3:7])
     E = _np_se3_exp(d)
     Rn = R @ E[:, :3, :3]
     tn = p[:, :3] + (R @ E[:, :3, 3][:, :, None])[:, :, 0]
-    return np.concatenate([tn, _np_R_to_q(Rn)], axis=1)
+    q = _np_R_to_q(Rn)
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    return np.concatenate([tn, q], axis=1)
 
 
 def _np_plane_azel(n):
@@ -708,7 +766,8 @@ def _build_bench_graph_se3(n_nodes, rng_seed=7, plane_every=4):
         Ra = _np_q_to_R(init[None, k - 1, 3:7])[0]
         Rm = _np_q_to_R(meas[k - 1][None, 3:7])[0]
         init[k, :3] = init[k - 1, :3] + Ra @ meas[k - 1][:3]
-        init[k, 3:7] = _np_R_to_q((Ra @ Rm)[None])[0]
+        q = _np_R_to_q((Ra @ Rm)[None])[0]
+        init[k, 3:7] = q / np.linalg.norm(q)   # see _np_pose7_oplus
 
     b = SE3GraphBuilder()
     info6 = np.diag([100.0] * 3 + [400.0] * 3).astype(np.float64)
@@ -921,7 +980,8 @@ def main():
      conv_rate) = bench_registration()
     lm_ms, lm_iters, lm_chi2, lm_ate = bench_pose_graph()
     lm_ms_16k, _, lm_chi2_16k, lm_ate_16k = bench_pose_graph(n_nodes=16384)
-    inc_ms, inc_cycles, inc_chi2, inc_ate = bench_pose_graph_incremental()
+    (inc_ms, inc_cycles, inc_chi2, inc_ate, inc_ratio,
+     inc_excess) = bench_pose_graph_incremental()
     se3_ms, se3_iters, se3_chi2, se3_ate = bench_pose_graph_se3()
 
     result = {
@@ -970,6 +1030,11 @@ def main():
         "incremental_nodes": 16384,
         "incremental_final_chi2": round(inc_chi2, 4),
         "incremental_ate_vs_gt_m": round(inc_ate, 4),
+        # warm cadence keeps the graph converged: final chi2 vs the full
+        # graph's cold (odometry-init) chi2, and vs a fully converged
+        # continuation (1.0 = nothing left on the table)
+        "incremental_chi2_ratio_vs_cold": round(inc_ratio, 6),
+        "incremental_chi2_excess_vs_converged": round(inc_excess, 4),
         # -- SE3/hdl pose graph (chain + hub-elimination direct solve) vs
         # a f64 sparse robust-LM CPU baseline with g2o's differentiation
         # strategy (analytic EdgeSE3, numeric EdgeSE3Plane)

@@ -400,21 +400,40 @@ def spike_local_solve_df(Ad, Bd, b, free, N, p, off, Lc, mesh_axis=None):
     Vblk = DFM(sol.hi[sr, lr, :, 1:], sol.lo[sr, lr, :, 1:])  # (NR,D,(2+Lc)D)
     gcol_r = gcol[sr]                               # (NR, 2+Lc)
 
-    # scatter-accumulate local blocks into global columns; per-c scatters
-    # are collision-free (distinct NR rows), cross-c collisions (an edge
-    # with both endpoints in one segment) accumulate via df_add
-    Vall = DFM(jnp.zeros((NR, D, KD + D), dtype),
-               jnp.zeros((NR, D, KD + D), dtype))
-    rr = jnp.arange(NR)[:, None, None]
-    dr = jnp.arange(D)[None, :, None]
-    for c in range(2 + Lc):
-        blk = _df_sl(Vblk, jnp.s_[:, :, c * D:(c + 1) * D])
-        cc = (gcol_r[:, c, None, None] * D + jnp.arange(D)[None, None, :])
-        part = DFM(
-            jnp.zeros((NR, D, KD + D), dtype).at[rr, dr, cc].set(blk.hi),
-            jnp.zeros((NR, D, KD + D), dtype).at[rr, dr, cc].set(blk.lo),
+    # Scatter the local blocks into global capacitance columns with TWO
+    # collision-free .set scatters + one exact df_add (the previous
+    # per-slot loop materialized (2+Lc) full (NR,D,KD) arrays — measured
+    # as a dominant cost of the 16k sharded iteration). Collision
+    # analysis per needed-row r (all its slots live in segment sr[r]):
+    #   - interface columns occupy the disjoint range [0, n_if);
+    #   - a side-i slot entry exists at most once per edge globally, so
+    #     side-i loop columns are distinct; same for side-j;
+    #   - the ONLY same-(row, col) pair is an edge with both endpoints
+    #     in one segment: its i-entry (group A) and j-entry (group B)
+    #     meet across groups and combine via the exact df_add.
+    # Dead/gated slots already target the dummy column block KD.
+    nslots = 2 + Lc
+    Vr = DFM(
+        Vblk.hi.reshape(NR, D, nslots, D).transpose(0, 2, 1, 3),
+        Vblk.lo.reshape(NR, D, nslots, D).transpose(0, 2, 1, 3),
+    )                                               # (NR, nslots, D, D)
+    side_full = jnp.concatenate(
+        [jnp.zeros((p, 2), bool), side_j], axis=1
+    )[sr]                                           # (NR, nslots)
+    dummy = jnp.full_like(gcol_r, n_if + K)
+    colA = jnp.where(side_full, dummy, gcol_r)      # interfaces + side-i
+    colB = jnp.where(side_full, gcol_r, dummy)      # side-j
+    rr = jnp.arange(NR)[:, None, None, None]
+    dr = jnp.arange(D)[None, None, :, None]
+
+    def scatter(cols):
+        cc = cols[:, :, None, None] * D + jnp.arange(D)[None, None, None, :]
+        return DFM(
+            jnp.zeros((NR, D, KD + D), dtype).at[rr, dr, cc].set(Vr.hi),
+            jnp.zeros((NR, D, KD + D), dtype).at[rr, dr, cc].set(Vr.lo),
         )
-        Vall = df_add(Vall, part)
+
+    Vall = df_add(scatter(colA), scatter(colB))
     Vall = _df_sl(Vall, jnp.s_[:, :, :KD])
 
     CV_if = _df_sl(Vall, jnp.s_[:n_if])

@@ -43,6 +43,12 @@ class StageTimer:
             self.totals[name] += dt
             self.counts[name] += 1
 
+    def reset(self):
+        """Clear accumulated stats (e.g. after a compile-warmup phase, so
+        means reflect steady-state timings only)."""
+        self.totals.clear()
+        self.counts.clear()
+
     def mean_ms(self, name):
         c = self.counts[name]
         return 1000.0 * self.totals[name] / c if c else 0.0
