@@ -187,6 +187,27 @@ class SE2GraphBuilder:
                 n += 1
         return n
 
+    def spike_local_need(self, n_vertices_cap, level=0, p=16):
+        """Host-side max per-segment endpoint-slot count for the
+        locality-aware SPIKE solve (parallel/spike.py): off-chain edge
+        endpoints are binned into the p segments of the padded vertex
+        table exactly as _pack_endpoint_slots does (segment size =
+        ceil(N/p) rounded up to a power of two). Feeds optimize_se2's
+        local_hint so Lc is sized to the real need — zero dropped edges.
+        """
+        m = -(-n_vertices_cap // p)
+        if m & (m - 1):
+            m = 1 << max(m - 1, 1).bit_length()
+        counts = [0] * (p + 1)
+        for e in self.edges:
+            if e["type"] != "se2" or e["level"] != level:
+                continue
+            i, j = e["i"], e["j"]
+            if abs(i - j) > 1 and not self.fixed[i] and not self.fixed[j]:
+                counts[min(i // m, p)] += 1
+                counts[min(j // m, p)] += 1
+        return max(counts[:p])
+
     def remove_edge(self, eid):
         for e in self.edges:
             if e["id"] == eid:

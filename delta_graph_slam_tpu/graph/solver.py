@@ -216,8 +216,21 @@ def _make_optimize(cfg: SolverConfig):
 _OPT_CACHE = {}
 
 
+# segment count for the auto-selected locality-aware SPIKE solve; p=16
+# measured fastest at both 4k and 16k nodes on TPU v5e
+# (scripts/profile_inloop.py: 1.75 ms vs 2.72 plain at 4k/K32,
+# 6.07 ms vs 27.6 plain at 16k/K128).
+SPIKE_AUTO_P = 16
+# below this vertex capacity the plain chain solve's single BCR is
+# already cheap and the segmented form only adds reduction overhead
+SPIKE_AUTO_MIN_N = 2048
+# above this per-segment slot need the local sweep is wider than the
+# problem is sparse — keep the global Woodbury instead
+SPIKE_AUTO_MAX_LC = 128
+
+
 def optimize_se2(graph: SE2Graph, level=0, config: SolverConfig = None,
-                 off_hint=None, n_chain=0):
+                 off_hint=None, n_chain=0, local_hint=None):
     """Optimize the graph at the given level; returns (poses, SolverStats).
 
     Mirrors GraphSLAM::optimize(num_iterations, level)
@@ -233,6 +246,15 @@ def optimize_se2(graph: SE2Graph, level=0, config: SolverConfig = None,
     n_chain: pass graph.poses.shape[0] - 1 when the graph was packed
     with to_arrays(chain_first=True); the chain backend then assembles
     the block tridiagonal and gradient with shifts instead of scatters.
+
+    local_hint: host-known max per-segment endpoint-slot need
+    (SE2GraphBuilder.spike_local_need(N, level, p=SPIKE_AUTO_P)). When
+    given — and the caller didn't configure chain_segments explicitly —
+    large graphs are routed through the locality-aware SPIKE solve
+    (parallel/spike.py) with Lc bucketed to the hint: the wide
+    [b | U | C^T] double-float BCR apply that dominates big-graph
+    iterations collapses to per-segment local sweeps (measured 2.6x
+    whole-solver at 16k, identical chi2/ATE).
     """
     import dataclasses as _dc
 
@@ -249,6 +271,15 @@ def optimize_se2(graph: SE2Graph, level=0, config: SolverConfig = None,
             k *= 2
         if k != config.chain_offrank_capacity:
             config = _dc.replace(config, chain_offrank_capacity=k)
+    if (local_hint is not None and config.backend == "chain"
+            and config.chain_segments == 0 and off_hint
+            and graph.poses.shape[0] >= SPIKE_AUTO_MIN_N):
+        lc = 8
+        while lc < local_hint:
+            lc *= 2
+        if lc <= SPIKE_AUTO_MAX_LC:
+            config = _dc.replace(config, chain_segments=SPIKE_AUTO_P,
+                                 chain_local_cols=lc)
     if config not in _OPT_CACHE:
         _OPT_CACHE[config] = jax.jit(_make_optimize(config))
     return _OPT_CACHE[config](graph, jnp.asarray(level, jnp.int32))

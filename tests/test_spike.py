@@ -282,3 +282,59 @@ class TestSpikeLM:
             1e-4 * max(float(s1.chi2_final), 1e-9)
         )
         assert np.max(np.abs(np.asarray(p4) - np.asarray(p1))) < 1e-3
+
+
+class TestSpikeLocalNeedHint:
+    """Host-side Lc hint (SE2GraphBuilder.spike_local_need) must agree
+    with the device packing's notion of segments and slot pressure, so
+    the auto-routed solve (optimize_se2 local_hint) never drops edges."""
+
+    def _builder(self, n, loops):
+        from delta_graph_slam_tpu.graph import SE2GraphBuilder
+
+        b = SE2GraphBuilder()
+        info = np.diag([100.0, 100.0, 400.0])
+        for k in range(n):
+            b.add_vertex(np.asarray([k * 1.0, 0.0, 0.0]), fixed=(k == 0))
+        for k in range(n - 1):
+            b.add_se2_edge(k, k + 1, np.asarray([1.0, 0.0, 0.0]), info)
+        for i, j in loops:
+            b.add_se2_edge(i, j, np.asarray([float(j - i), 0.0, 0.0]),
+                           info, kernel="Huber", delta=1.0)
+        return b
+
+    def test_hint_matches_device_drop_accounting(self):
+        from delta_graph_slam_tpu.parallel.spike import spike_local_dropped
+
+        # 7 loops clustered so segment 0 holds 5 endpoints at N=256,p=4
+        loops = [(1, 100), (2, 120), (3, 140), (4, 160), (5, 200),
+                 (130, 250), (135, 245)]
+        b = self._builder(256, loops)
+        need = b.spike_local_need(256, level=0, p=4)
+        assert need == 5
+        ei = jnp.asarray([i for i, _ in loops], jnp.int32)
+        ej = jnp.asarray([j for _, j in loops], jnp.int32)
+        live = jnp.ones((len(loops),), bool)
+        # Lc = need -> zero drops; Lc = need - 1 -> drops
+        assert int(spike_local_dropped(ei, ej, live, 256, 4, need)) == 0
+        assert int(spike_local_dropped(ei, ej, live, 256, 4, need - 1)) > 0
+
+    def test_hint_respects_level_and_fixed(self):
+        b = self._builder(256, [(1, 100)])
+        info = np.eye(3)
+        b.add_se2_edge(10, 200, np.zeros(3), info, level=1)  # other level
+        b.add_se2_edge(0, 150, np.zeros(3), info)            # fixed endpoint
+        assert b.spike_local_need(256, level=0, p=4) == 1
+        assert b.spike_local_need(256, level=1, p=4) == 1
+
+    def test_nonpow2_segment_size_binning(self):
+        # N=96, p=4 -> m=ceil(96/4)=24 -> pow2-rounded to 32: vertex 40
+        # is in segment 1, vertex 70 in segment 2
+        b = self._builder(96, [(40, 70)])
+        assert b.spike_local_need(96, level=0, p=4) == 1
+        from delta_graph_slam_tpu.parallel.spike import spike_local_dropped
+
+        ei = jnp.asarray([40], jnp.int32)
+        ej = jnp.asarray([70], jnp.int32)
+        live = jnp.ones((1,), bool)
+        assert int(spike_local_dropped(ei, ej, live, 96, 4, 1)) == 0
