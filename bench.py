@@ -334,23 +334,54 @@ def bench_pose_graph_incremental(n_nodes=16384, chunk=64, backend="chain",
             g_full.priors_xy, g_full.priors_yaw,
         )
 
+    # new keyframes enter the graph integrated forward from the CURRENT
+    # optimized map frame, not from the raw odometry chain's origin —
+    # exactly the reference's odom2map * odom2D node init
+    # (delta_graph_slam_nodelet.cpp:549). Integrating from the original
+    # origin instead creates an O(drift) seam between the optimized
+    # prefix and each new chunk late in the run, a regime no SLAM
+    # frontend produces.
+    meas_chain = np.asarray(
+        [e["meas"] for e in full.edges if e["type"] == "se2"
+         and abs(e["i"] - e["j"]) == 1][: n_nodes - 1], np.float32)
+    pad_m = np.zeros((g_full.poses.shape[0] - 1 - len(meas_chain), 3),
+                     np.float32)
+    meas_dev = jnp.asarray(np.concatenate([meas_chain, pad_m]))
+
+    @jax.jit
+    def extend(poses_dev, s):
+        """Integrate vertices [s, s+chunk) from poses[s-1] via the chain
+        odometry measurements (one compiled program, s traced)."""
+        ms = jax.lax.dynamic_slice(meas_dev, (s - 1, 0), (chunk, 3))
+
+        def step(p, m):
+            c, sn = jnp.cos(p[2]), jnp.sin(p[2])
+            q = jnp.stack([p[0] + c * m[0] - sn * m[1],
+                           p[1] + sn * m[0] + c * m[1],
+                           (p[2] + m[2] + jnp.pi) % (2 * jnp.pi) - jnp.pi])
+            return q, q
+
+        _, seq = jax.lax.scan(step, poses_dev[s - 1], ms)
+        return jax.lax.dynamic_update_slice(poses_dev, seq, (s, 0))
+
     # warm-up compile with the first chunk
     poses = g_full.poses
     p0, st0 = optimize_se2(sub(chunk, poses), level=0, config=cfg,
                            off_hint=hint, n_chain=nc, local_hint=lhint)
-    float(st0.chi2_final)   # scalar-fetch sync (tunnel-safe)
+    float(extend(p0, jnp.asarray(chunk))[0, 0])  # compile + sync
 
     poses = g_full.poses
     cold_chi2 = None
     n_cycles = 0
     t0 = time.perf_counter()
     for nv in range(chunk, n_nodes + 1, chunk):
-        # warm start: poses carries the previous cycle's solution; newly
-        # activated vertices enter at their odometry-integrated init
-        # (exactly what flush_keyframe_queue does)
+        # warm start: poses carries the previous cycle's solution with
+        # the new chunk integrated forward from it (map-frame entry)
         p, stats = optimize_se2(sub(nv, poses), level=0, config=cfg,
                                 off_hint=hint, n_chain=nc,
                                 local_hint=lhint)
+        if nv + chunk <= n_nodes:
+            p = extend(p, jnp.asarray(nv))
         poses = p
         if cold_chi2 is None:
             cold_chi2 = float(stats.chi2_initial)
