@@ -28,6 +28,7 @@ vs_baseline = e2e_scans_per_sec / 1.0.
 
 import dataclasses
 import json
+import sys
 import time
 
 import numpy as np
@@ -1005,24 +1006,37 @@ def bench_pose_graph_se3_cpu(n_nodes=4096, max_iters=20):
     return dt * 1000.0 / it, it, float(chi2), ate
 
 
+def _stage(name, fn, *args, **kw):
+    """Run one bench section, logging wall time to stderr (progress +
+    budget visibility: the whole suite must stay under the driver's
+    bench timeout)."""
+    t0 = time.perf_counter()
+    out = fn(*args, **kw)
+    print(f"[bench] {name}: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+    return out
+
+
 def main():
     platform = jax.devices()[0].platform
     # CPU baselines FIRST: measured 4x inflated when run after the TPU
     # workloads in the same process (tunnel I/O threads steal the core)
-    cpu_lm_ms, cpu_iters, cpu_chi2, cpu_ate = bench_pose_graph_cpu()
-    cpu_lm_ms_16k, _, cpu_chi2_16k, cpu_ate_16k = bench_pose_graph_cpu(
-        n_nodes=16384, max_iters=8
-    )
+    cpu_lm_ms, cpu_iters, cpu_chi2, cpu_ate = _stage(
+        "cpu_lm_4k", bench_pose_graph_cpu)
+    cpu_lm_ms_16k, _, cpu_chi2_16k, cpu_ate_16k = _stage(
+        "cpu_lm_16k", bench_pose_graph_cpu, n_nodes=16384, max_iters=8)
     (se3_cpu_ms, se3_cpu_iters, se3_cpu_chi2,
-     se3_cpu_ate) = bench_pose_graph_se3_cpu()
-    e2e_sps, n_kf, stage_ms = bench_e2e()
+     se3_cpu_ate) = _stage("cpu_se3", bench_pose_graph_se3_cpu)
+    e2e_sps, n_kf, stage_ms = _stage("e2e", bench_e2e)
     (odo_sps, n_swaps, err_t, aligned_single, aligned_best,
-     conv_rate) = bench_registration()
-    lm_ms, lm_iters, lm_chi2, lm_ate = bench_pose_graph()
-    lm_ms_16k, _, lm_chi2_16k, lm_ate_16k = bench_pose_graph(n_nodes=16384)
+     conv_rate) = _stage("registration", bench_registration)
+    lm_ms, lm_iters, lm_chi2, lm_ate = _stage("lm_4k", bench_pose_graph)
+    lm_ms_16k, _, lm_chi2_16k, lm_ate_16k = _stage(
+        "lm_16k", bench_pose_graph, n_nodes=16384)
     (inc_ms, inc_cycles, inc_chi2, inc_ate, inc_ratio,
-     inc_excess) = bench_pose_graph_incremental()
-    se3_ms, se3_iters, se3_chi2, se3_ate = bench_pose_graph_se3()
+     inc_excess) = _stage("incremental", bench_pose_graph_incremental)
+    se3_ms, se3_iters, se3_chi2, se3_ate = _stage(
+        "se3_tpu", bench_pose_graph_se3)
 
     result = {
         "metric": "e2e_scans_per_sec",
