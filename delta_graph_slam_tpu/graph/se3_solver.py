@@ -5,6 +5,21 @@ Vertices live in one unified 6-dim block space (planes/points use the first
 Jacobians are exact: forward-mode autodiff of each edge error through the
 vertex-local update maps (right-multiplicative se3 exp for poses, g2o
 Plane3D::oplus for planes, additive for points) evaluated at zero.
+
+Precision: pose translations and point landmarks are carried as
+double-float (hi, lo) pairs (geom/dfloat.py) — at KITTI scale (|t| ~
+300 m) one f32 ulp is ~3e-5 m, so plain-f32 state swallows late LM
+updates and the residual differences t_j - t_i cancel catastrophically
+(the NOTES_r3 SE2 failure, reproduced verbatim on SE3: the r3 bench
+stalled at chi2 5.9e6 where the f64 optimum is 2.02). Because the
+translation enters every edge error LINEARLY once the rotations are
+fixed, the lo limb contributes an exact closed-form correction per
+family (e.g. EdgeSE3: Rz^T Ri^T (lo_j - lo_i)); quaternions and plane
+coefficients are O(1) and stay plain f32. Jacobians, robust weights and
+the (already double-float) hub-elimination solve are unchanged.
+
+Replaces g2o lm_var_cholmod for the SE3/hdl capability set
+(/root/reference/src/hdl_graph_slam/graph_slam.cpp:31-76, 338-352).
 """
 
 import dataclasses
@@ -13,6 +28,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..geom.dfloat import DF, df_add_small, df_value
+from ..geom.se3 import quat_to_rot
 from .lm_core import (
     SolverConfig,
     concat_sys,
@@ -109,8 +126,16 @@ def _z(n, d, dtype):
 
 def _families(graph: SE3Graph, state, with_jac):
     """Yield (gi, gj, r, Ji, Jj, info, act, kernel, delta, rdim) with global
-    vertex indices over the unified [poses | planes | points] space."""
-    poses, planes, points = state
+    vertex indices over the unified [poses | planes | points] space.
+
+    state = (poses DF (V,7), planes (P,4), points DF (Q,3)). Base
+    residuals and all Jacobians evaluate at the hi limb; the lo limb
+    (nonzero only on translations/points) adds its exact linear
+    contribution to each residual."""
+    poses_df, planes, points_df = state
+    poses = poses_df.hi
+    tlo = poses_df.lo[:, :3]
+    points = points_df.hi
     V = poses.shape[0]
     P = planes.shape[0]
     dt = poses.dtype
@@ -118,6 +143,12 @@ def _families(graph: SE3Graph, state, with_jac):
     e = graph.edges
     n = e.i.shape[0]
     r = _r_se3(_z(n, 6, dt), _z(n, 6, dt), poses[e.i], poses[e.j], e.meas)
+    # d r_t / d t_j = Rz^T Ri^T (translation is linear given rotations)
+    RiT = jnp.swapaxes(quat_to_rot(poses[e.i, 3:7]), -1, -2)
+    RzT = jnp.swapaxes(quat_to_rot(e.meas[:, 3:7]), -1, -2)
+    dlo = tlo[e.j] - tlo[e.i]
+    corr = jnp.einsum("eab,ebc,ec->ea", RzT, RiT, dlo)
+    r = r.at[:, :3].add(corr)
     Ji, Jj = (_j_se3(_z(n, 6, dt), _z(n, 6, dt), poses[e.i], poses[e.j], e.meas)
               if with_jac else (None, None))
     yield e.i, e.j, r, Ji, Jj, e.info, e.mask, e.level, e.kernel, e.delta, 6
@@ -127,6 +158,10 @@ def _families(graph: SE3Graph, state, with_jac):
         r_fn, j_fn, dim = _prior_fns[name]
         n = p.i.shape[0]
         r = r_fn(_z(n, 6, dt), poses[p.i], p.meas)
+        if name == "xy":
+            r = r + tlo[p.i, :2]
+        elif name == "xyz":
+            r = r + tlo[p.i]
         Ji = j_fn(_z(n, 6, dt), poses[p.i], p.meas) if with_jac else None
         yield p.i, p.i, r, Ji, None, p.info, p.mask, p.level, p.kernel, p.delta, dim
 
@@ -134,6 +169,9 @@ def _families(graph: SE3Graph, state, with_jac):
     n = s.i.shape[0]
     gp = V + s.p
     r = _r_se3_plane(_z(n, 6, dt), _z(n, 3, dt), poses[s.i], planes[s.p], s.meas)
+    # local plane offset w' = w + t.n (transform_plane with T^-1), and the
+    # ominus d-component is -w' - (-w_meas): d(err_d)/dt = -n
+    r = r.at[:, 2].add(-jnp.sum(tlo[s.i] * planes[s.p, :3], axis=-1))
     Ji, Jj = (_j_se3_plane(_z(n, 6, dt), _z(n, 3, dt), poses[s.i], planes[s.p], s.meas)
               if with_jac else (None, None))
     yield s.i, gp, r, Ji, Jj, s.info, s.mask, s.level, s.kernel, s.delta, 3
@@ -142,6 +180,9 @@ def _families(graph: SE3Graph, state, with_jac):
     n = t.i.shape[0]
     gq = V + P + t.q
     r = _r_se3_point(_z(n, 6, dt), _z(n, 3, dt), poses[t.i], points[t.q], t.meas)
+    # err = Ri^T (p - t_i) - meas: lo correction Ri^T (p_lo - t_lo)
+    RiTp = jnp.swapaxes(quat_to_rot(poses[t.i, 3:7]), -1, -2)
+    r = r + jnp.einsum("eab,eb->ea", RiTp, points_df.lo[t.q] - tlo[t.i])
     Ji, Jj = (_j_se3_point(_z(n, 6, dt), _z(n, 3, dt), poses[t.i], points[t.q], t.meas)
               if with_jac else (None, None))
     yield t.i, gq, r, Ji, Jj, t.info, t.mask, t.level, t.kernel, t.delta, 3
@@ -163,7 +204,7 @@ def _families(graph: SE3Graph, state, with_jac):
 
 
 def _chi2(graph, state, level):
-    total = jnp.asarray(0.0, state[0].dtype)
+    total = jnp.asarray(0.0, state[0].hi.dtype)
     nact = jnp.asarray(0, jnp.int32)
     for gi, gj, r, _, _, info, mask, lvl, kern, delta, dim in _families(
         graph, state, with_jac=False
@@ -180,7 +221,7 @@ def _chi2(graph, state, level):
 
 def _linearize(graph, state, level):
     parts = []
-    chi2 = jnp.asarray(0.0, state[0].dtype)
+    chi2 = jnp.asarray(0.0, state[0].hi.dtype)
     for gi, gj, r, Ji, Jj, info, mask, lvl, kern, delta, dim in _families(
         graph, state, with_jac=True
     ):
@@ -199,13 +240,19 @@ def _linearize(graph, state, level):
     return concat_sys(parts), chi2
 
 
+def _state0(graph: SE3Graph):
+    return (DF(graph.poses, jnp.zeros_like(graph.poses)),
+            graph.planes,
+            DF(graph.points, jnp.zeros_like(graph.points)))
+
+
 def _free_mask(graph: SE3Graph, level):
     V = graph.poses.shape[0]
     P = graph.planes.shape[0]
     Q = graph.points.shape[0]
     N = V + P + Q
     act = jnp.zeros(N, bool)
-    state = (graph.poses, graph.planes, graph.points)
+    state = _state0(graph)
     for gi, gj, *_rest in _families(graph, state, with_jac=False):
         mask, lvl = _rest[4], _rest[5]
         m = mask & (lvl == level)
@@ -226,10 +273,22 @@ def _free_mask(graph: SE3Graph, level):
 
 def _make_optimize(cfg: SolverConfig):
     def opt(graph: SE3Graph, level):
+        # SE3 linearization is built from 3x3/4x4 rotation-matrix products
+        # (error_se3, pose7_oplus jacfwd): at the TPU's default matmul
+        # precision those run as bf16 passes, whose ~1e-3 relative noise
+        # on residuals/jacobians stalls LM far from the optimum (measured
+        # r4: chi2 5.8e6 at default vs 1.39 at highest on the 4k bench;
+        # the SE2 solver is immune because its analytic forms avoid
+        # dot_general entirely). f32-highest = 6 bf16 passes; the solve
+        # itself (hub_solve) already pins highest internally.
+        with jax.default_matmul_precision("highest"):
+            return _opt_body(graph, level)
+
+    def _opt_body(graph: SE3Graph, level):
         V = graph.poses.shape[0]
         P = graph.planes.shape[0]
         free = _free_mask(graph, level)
-        state0 = (graph.poses, graph.planes, graph.points)
+        state0 = _state0(graph)
 
         def linearize_fn(state):
             return _linearize(graph, state, level)
@@ -238,17 +297,35 @@ def _make_optimize(cfg: SolverConfig):
             return _chi2(graph, state, level)
 
         def apply_fn(state, dx):
-            poses, planes, points = state
-            poses = pose7_oplus(poses, dx[:V])
+            poses_df, planes, points_df = state
+            dxp = dx[:V]
+            # orientation: plain f32 right-multiplicative update (unit
+            # quats have no cancellation); translation: the world-frame
+            # increment delta_t = R V(w) v is O(|dx|), accumulated in df
+            # so sub-ulp steps are not swallowed at |t| ~ 300 m
+            from ..geom.se3 import se3_exp
+
+            E = se3_exp(dxp)
+            q_new = pose7_oplus(poses_df.hi, dxp)[:, 3:7]
+            Rhi = quat_to_rot(poses_df.hi[:, 3:7])
+            delta_t = jnp.einsum("vab,vb->va", Rhi, E[:, :3, 3])
+            t_new = df_add_small(DF(poses_df.hi[:, :3], poses_df.lo[:, :3]),
+                                 delta_t)
+            poses_df = DF(
+                jnp.concatenate([t_new.hi, q_new], axis=-1),
+                jnp.concatenate([t_new.lo, jnp.zeros_like(q_new)], axis=-1),
+            )
             planes = plane_oplus(planes, dx[V:V + P, :3])
-            points = points + dx[V + P:, :3]
-            return (poses, planes, points)
+            points_df = df_add_small(points_df, dx[V + P:, :3])
+            return (poses_df, planes, points_df)
 
         n_total = jnp.asarray(0, jnp.int32)
         for _rest in _families(graph, state0, with_jac=False):
             n_total = n_total + jnp.sum(_rest[6])
-        return lm_optimize(linearize_fn, chi2_fn, apply_fn, state0, free, cfg,
-                           n_edges_total=n_total)
+        (poses_df, planes, points_df), stats = lm_optimize(
+            linearize_fn, chi2_fn, apply_fn, state0, free, cfg,
+            n_edges_total=n_total)
+        return (df_value(poses_df), planes, df_value(points_df)), stats
 
     return opt
 
