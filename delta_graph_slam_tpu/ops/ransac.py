@@ -164,6 +164,44 @@ def euclidean_cluster_mask(points, mask, tolerance, *, rounds=None, chunk=1024):
     return (labels == winner) & mask, labels
 
 
+def line_gap_cluster_mask(t_proj, mask, tolerance):
+    """Largest connected cluster of points that lie (near) a common line,
+    clustered by their 1-D projection onto it.
+
+    For RANSAC line inliers the euclidean clustering of the reference
+    (EuclideanClusterExtraction over the inlier subcloud,
+    line_based_scanmatcher.cpp:299-334) degenerates to gap clustering on
+    the line coordinate: all points sit within dist_thresh (0.1 m) of
+    the line, far below the 1.0 m cluster tolerance, so two inliers are
+    tolerance-connected iff their projections are within ~tolerance
+    (exact bound: sqrt(tol^2 - (2*dist_thresh)^2) <= split gap <= tol,
+    a <2% band documented in DIVERGENCES.md). This replaces the O(N^2)
+    min-label propagation (12 rounds x N x chunk distance sweeps — the
+    dominant cost of align_global, VERDICT r3 #2) with one argsort.
+    """
+    n = t_proj.shape[0]
+    big = jnp.asarray(jnp.inf, t_proj.dtype)
+    key = jnp.where(mask, t_proj, big)
+    order = jnp.argsort(key)                       # valid first, by t
+    ts = key[order]
+    valid = mask[order]
+    gap = ts - jnp.concatenate([ts[:1], ts[:-1]])
+    # new run when the gap exceeds tolerance (first element starts run 0);
+    # invalid tail (inf - inf = nan) never wins
+    new_run = jnp.concatenate(
+        [jnp.zeros((1,), bool), (gap > tolerance)[1:]]
+    )
+    run = jnp.cumsum(new_run.astype(jnp.int32))
+    run = jnp.where(valid, run, n)
+    counts = jax.ops.segment_sum(
+        jnp.where(valid, 1, 0), jnp.clip(run, 0, n), num_segments=n + 1
+    )[:-1]
+    winner = jnp.argmax(counts).astype(jnp.int32)
+    keep_sorted = (run == winner) & valid
+    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
+    return keep & mask
+
+
 class LineSegments(NamedTuple):
     """Fixed-capacity batch of 2-D line segments with per-line stats.
 
@@ -225,9 +263,8 @@ def ransac_line(
         mask = carry
         enough = jnp.sum(mask) >= min_cluster_size
         a, dirn, inl = ransac_line_single(pts2, mask, key_i, n_hypotheses, dist_thresh)
-        cluster, _ = euclidean_cluster_mask(
-            pts2, inl, cluster_tolerance, rounds=cluster_rounds, chunk=chunk
-        )
+        t_proj = (pts2 - a[None, :]) @ dirn
+        cluster = line_gap_cluster_mask(t_proj, inl, cluster_tolerance)
         csize = jnp.sum(cluster)
         cluster = cluster & (csize <= max_cluster_size)
         accept_cluster = (csize >= min_cluster_size) & enough
