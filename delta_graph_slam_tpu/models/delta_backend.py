@@ -628,26 +628,46 @@ class DeltaBackend:
         self.overlap_edge_ids = []
         deoverlap_rounds = 0
         if self.cfg.enable_buildings:
+            stack = lambda lst: jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *lst
+            )
             for _ in range(15):
                 pairs = self.get_overlapped_buildings()
                 if not pairs:
                     break
                 poses = self.poses
-                for A, B in pairs:
-                    with self.timer.stage("align_overlapped"):
-                        T, found = self.scanmatcher.align_overlapped_buildings(
-                            A.get_lines(poses), A.estimate(poses),
-                            B.get_lines(poses), B.estimate(poses),
-                        )
-                    if not found:
+                with self.timer.stage("align_overlapped"):
+                    # ONE device program for all overlapped pairs of the
+                    # round (the reference loops align_overlapped_buildings
+                    # per pair, delta:873-885); pow2 bucketing reuses
+                    # compiled programs as the pair count varies
+                    B = len(pairs)
+                    P2 = 1 << max(B - 1, 0).bit_length()
+                    la = [A.get_lines(poses) for A, _ in pairs]
+                    lb = [Bb.get_lines(poses) for _, Bb in pairs]
+                    pa = np.stack([A.estimate(poses) for A, _ in pairs]
+                                  + [np.zeros(3)] * (P2 - B))
+                    pb = np.stack([Bb.estimate(poses) for _, Bb in pairs]
+                                  + [np.zeros(3)] * (P2 - B))
+                    if P2 > B:
+                        empty = la[0]._replace(
+                            mask=jnp.zeros_like(la[0].mask))
+                        la += [empty] * (P2 - B)
+                        lb += [empty] * (P2 - B)
+                    T_all, found = self.scanmatcher.align_overlapped_batch(
+                        stack(la), stack(lb), pa, pb)
+                    T_all = np.asarray(T_all, np.float64)
+                    found = np.asarray(found)
+                for k, (A, Bb) in enumerate(pairs):
+                    if not found[k]:
                         continue
-                    trans2d = _se2_of(T)
+                    trans2d = _se2_of(T_all[k])
                     ta = se2_compose_np(trans2d, A.estimate(poses))
                     relpose = se2_compose_np(
-                        se2_inverse_np(ta), B.estimate(poses)
+                        se2_inverse_np(ta), Bb.estimate(poses)
                     )
                     eid = self.graph.add_se2_edge(
-                        A.node_id, B.node_id, relpose, np.eye(3) * 1e4,
+                        A.node_id, Bb.node_id, relpose, np.eye(3) * 1e4,
                         level=2,
                         kernel=self.cfg.building_edge_robust_kernel,
                         delta=self.cfg.building_edge_robust_kernel_size,

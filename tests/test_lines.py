@@ -190,3 +190,33 @@ class TestAlign:
         # A moved so the squares no longer overlap; translation should be
         # about 2 in -x (minimum translation separation)
         assert abs(np.linalg.norm(T[:2, 3]) - 2.0) < 0.5
+
+    def test_align_overlapped_batch_matches_single(self):
+        """One dispatch for all pairs (VERDICT r3 #6) == per-pair calls;
+        padded slots return found=False."""
+        import jax
+
+        sm = L.LineBasedScanmatcher(self._cfg())
+        A = square_lines(0, 0, 5.0, cap=8)
+        B = square_lines(8.0, 0, 5.0, cap=8)
+        C = square_lines(1.0, 7.0, 5.0, cap=8)   # overlaps A in y
+        pa = np.zeros(3)
+        pb = np.asarray([8.0, 0.0, 0.0])
+        pc = np.asarray([1.0, 7.0, 0.0])
+        T1, f1 = sm.align_overlapped_buildings(A, pa, B, pb)
+        T2, f2 = sm.align_overlapped_buildings(C, pc, A, pa)
+        stack = lambda lst: jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *lst
+        )
+        empty = A._replace(mask=jnp.zeros_like(A.mask))
+        Tb, fb = sm.align_overlapped_batch(
+            stack([A, C, empty, empty]), stack([B, A, empty, empty]),
+            np.stack([pa, pc, np.zeros(3), np.zeros(3)]),
+            np.stack([pb, pa, np.zeros(3), np.zeros(3)]),
+        )
+        Tb = np.asarray(Tb)
+        fb = np.asarray(fb)
+        assert bool(fb[0]) == bool(f1) and bool(fb[1]) == bool(f2)
+        assert not fb[2] and not fb[3]
+        np.testing.assert_allclose(Tb[0], T1, atol=1e-4)
+        np.testing.assert_allclose(Tb[1], T2, atol=1e-4)
