@@ -133,6 +133,45 @@ def bench_e2e(n_frames=240, warmup_frames=10):
             sub_sps, metrics)
 
 
+def bench_hdl_e2e(n_frames=120, warmup_frames=10):
+    """Full hdl pipeline (prefilter -> odometry -> floor detection ->
+    SE3 backend with GPS + floor-plane edges) on raycast scans, with the
+    save_map quality bottom line (ATE/t-RPE) — the hdl capability set
+    end to end on the converging SE3 solver (VERDICT r3 #7; launch/
+    hdl_graph_slam_400.launch: floor constraint + GPS)."""
+    from delta_graph_slam_tpu.config import get_preset
+    from delta_graph_slam_tpu.pipeline.runner import Pipeline
+
+    world, frames = _city(n_frames + warmup_frames)
+    cfg = get_preset("hdl_400")
+    pipe = Pipeline(cfg, threaded=True)
+
+    def drain(n_expected):
+        while pipe.frames_processed < n_expected:
+            if pipe._worker_error is not None:
+                raise pipe._worker_error
+            time.sleep(0.005)
+
+    for fr in frames[:warmup_frames]:
+        pipe.on_gps(fr.stamp, *fr.gps)
+        pipe.on_points(fr.stamp, fr.points, gt_pose=fr.gt_pose)
+    drain(warmup_frames)
+    pipe.backend.optimization_step()
+    pipe.backend.optimization_step()
+    pipe.timer.reset()
+    pipe.backend.timer.reset()
+
+    t0 = time.perf_counter()
+    for fr in frames[warmup_frames:]:
+        pipe.on_gps(fr.stamp, *fr.gps)
+        pipe.on_points(fr.stamp, fr.points, gt_pose=fr.gt_pose)
+    drain(warmup_frames + n_frames)
+    dt = time.perf_counter() - t0
+    pipe.finish()
+    metrics = pipe.evaluate() or {}
+    return n_frames / dt, len(pipe.backend.keyframes), metrics
+
+
 def bench_registration(n_points=16384):
     """Frame-to-keyframe registration over distinct consecutive frames.
 
@@ -141,7 +180,9 @@ def bench_registration(n_points=16384):
     real: the next guess needs this frame's transform).
     aligned_scans_per_sec: streamed aligns of distinct frames against one
     keyframe target, single sync at the end (the pure device-throughput
-    ceiling), single-pass and best-of-2.
+    ceiling). Reported as the first pass and the MEDIAN of 5 passes —
+    best-of-N through a ~30 ms/RTT dev tunnel was a flattering estimator
+    (8x pass-to-pass spread, VERDICT r3 weak #7).
     """
     from delta_graph_slam_tpu import ops
     from delta_graph_slam_tpu.models.scan_matching_odometry import (
@@ -186,7 +227,7 @@ def bench_registration(n_points=16384):
     res = reg.align_cloud(ops.MaskedCloud(devs[0], mask), eye)
     np.asarray(res.transformation)                # compile
     passes = []
-    for _ in range(2):
+    for _ in range(5):
         t0 = time.perf_counter()
         results = [
             reg.align_cloud(ops.MaskedCloud(p, mask), eye) for p in devs
@@ -195,9 +236,9 @@ def bench_registration(n_points=16384):
         np.asarray(results[-1].transformation)
         passes.append(time.perf_counter() - t0)
     aligned_single = len(devs) / passes[0]
-    aligned_best = len(devs) / min(passes)
+    aligned_median = len(devs) / float(np.median(passes))
     conv_rate = float(conv.mean())
-    return (odometry_sps, n_swaps, err_t, aligned_single, aligned_best,
+    return (odometry_sps, n_swaps, err_t, aligned_single, aligned_median,
             conv_rate)
 
 
@@ -1055,7 +1096,8 @@ def main():
      se3_cpu_ate) = _stage("cpu_se3", bench_pose_graph_se3_cpu)
     e2e_sps, n_kf, stage_ms, e2e_sub_sps, e2e_metrics = _stage(
         "e2e", bench_e2e)
-    (odo_sps, n_swaps, err_t, aligned_single, aligned_best,
+    hdl_sps, hdl_kf, hdl_metrics = _stage("hdl_e2e", bench_hdl_e2e)
+    (odo_sps, n_swaps, err_t, aligned_single, aligned_median,
      conv_rate) = _stage("registration", bench_registration)
     lm_ms, lm_iters, lm_chi2, lm_ate = _stage("lm_4k", bench_pose_graph)
     lm_ms_16k, _, lm_chi2_16k, lm_ate_16k = _stage(
@@ -1088,11 +1130,19 @@ def main():
         "e2e_ate_std_m": round(e2e_metrics.get("ATE_std", -1.0), 4),
         "e2e_t_rpe_m": round(e2e_metrics.get("t_RPE_mean", -1.0), 4),
         "e2e_r_rpe_rad": round(e2e_metrics.get("r_RPE_mean", -1.0), 4),
+        # hdl capability set end to end (SE3 backend + floor + GPS) on
+        # raycast scans — quality on the converging SE3 solver
+        # (VERDICT r3 #7; launch/hdl_graph_slam_400.launch)
+        "hdl_e2e_scans_per_sec": round(hdl_sps, 2),
+        "hdl_e2e_keyframes": hdl_kf,
+        "hdl_e2e_ate_m": round(hdl_metrics.get("ATE_mean", -1.0), 4),
+        "hdl_e2e_t_rpe_m": round(hdl_metrics.get("t_RPE_mean", -1.0), 4),
+        "hdl_e2e_r_rpe_rad": round(hdl_metrics.get("r_RPE_mean", -1.0), 4),
         "odometry_scans_per_sec": round(odo_sps, 2),
         "odometry_keyframe_swaps": n_swaps,
         "odometry_final_err_t_m": round(err_t, 4),
         "aligned_scans_per_sec_single_pass": round(aligned_single, 2),
-        "aligned_scans_per_sec_best_of_2": round(aligned_best, 2),
+        "aligned_scans_per_sec_median_of_5": round(aligned_median, 2),
         "convergence_rate": round(conv_rate, 3),
         # -- pose-graph LM: TPU vs CPU on the IDENTICAL robust objective
         # (Huber loop edges, g2o lambda schedule, f64 SuperLU baseline)

@@ -878,34 +878,12 @@ class DeltaBackend:
 
     def compute_ate_rpe(self):
         """ATE / t-RPE / r-RPE vs keyframe ground truth (:1204-1280)."""
+        from ..utils.metrics import ate_rpe_se2
+
         poses = self.poses
         kfs = [k for k in self.keyframes if k.gt_pose is not None]
-        if len(kfs) < 2:
-            return None
-        ate, t_rpe, r_rpe = [], [], []
-        for i, kf in enumerate(kfs):
-            est = kf.estimate(poses)
-            delta = se2_compose_np(se2_inverse_np(kf.gt_pose), est)
-            ate.append(np.linalg.norm(delta[:2]))
-            if i > 0:
-                prev = kfs[i - 1]
-                rel = se2_compose_np(
-                    se2_inverse_np(prev.estimate(poses)), est
-                )
-                rel_gt = se2_compose_np(
-                    se2_inverse_np(prev.gt_pose), kf.gt_pose
-                )
-                d = se2_compose_np(se2_inverse_np(rel_gt), rel)
-                t_rpe.append(np.linalg.norm(d[:2]))
-                r_rpe.append(abs(d[2]))
-        return {
-            "ATE_mean": float(np.mean(ate)),
-            "ATE_std": float(np.std(ate)),
-            "t_RPE_mean": float(np.mean(t_rpe)),
-            "t_RPE_std": float(np.std(t_rpe)),
-            "r_RPE_mean": float(np.mean(r_rpe)),
-            "r_RPE_std": float(np.std(r_rpe)),
-        }
+        return ate_rpe_se2([k.estimate(poses) for k in kfs],
+                           [k.gt_pose for k in kfs])
 
     def create_marker_array(self):
         """Viz data mirroring the six marker namespaces (:934-1154)."""

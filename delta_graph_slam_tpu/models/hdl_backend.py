@@ -316,6 +316,20 @@ class HdlBackend:
             out[i] = np.asarray(transform_3d_to_2d(jnp.asarray(T)))
         return out
 
+    def compute_ate_rpe(self):
+        """ATE / t-RPE / r-RPE vs keyframe ground truth — the save_map
+        quality bottom line (delta_graph_slam_nodelet.cpp:1204-1280).
+        SE3 estimates are projected to SE2 to match the simulators'
+        planar ground truth; the z/roll/pitch error is carried by the
+        floor and IMU constraints and visible in the SE3 chi2."""
+        from ..utils.metrics import ate_rpe_se2
+
+        poses2d = self.poses2d
+        kfs = [k for k in self.keyframes
+               if k.gt_pose is not None and k.node_id is not None]
+        return ate_rpe_se2([poses2d[k.node_id] for k in kfs],
+                           [np.asarray(k.gt_pose, float) for k in kfs])
+
     @_locked
     def optimization_step(self) -> dict:
         stats = {}

@@ -165,3 +165,34 @@ class TestInterpolate:
             n = int(np.asarray(mask[i]).sum())
             seg = np.linalg.norm(b[i] - a[i])
             assert n == int(np.floor(seg / 0.02)) + 1
+
+
+class TestTrajectoryMetrics:
+    """ate_rpe_se2 — the shared save_map quality summary
+    (delta_graph_slam_nodelet.cpp:1204-1280) used by both backends."""
+
+    def test_perfect_trajectory_is_zero(self):
+        from delta_graph_slam_tpu.utils.metrics import ate_rpe_se2
+
+        gts = [np.array([t, 0.5 * t, 0.01 * t]) for t in range(6)]
+        m = ate_rpe_se2(gts, gts)
+        assert m["ATE_mean"] < 1e-12 and m["t_RPE_mean"] < 1e-12
+        assert m["r_RPE_mean"] < 1e-12
+
+    def test_rigid_offset_hits_ate_not_rpe(self):
+        from delta_graph_slam_tpu.utils.metrics import ate_rpe_se2
+        from delta_graph_slam_tpu.geom.host import se2_compose_np
+
+        off = np.array([1.0, -2.0, 0.0])
+        gts = [np.array([t, 0.0, 0.0]) for t in range(6)]
+        ests = [se2_compose_np(off, g) for g in gts]
+        m = ate_rpe_se2(ests, gts)
+        np.testing.assert_allclose(m["ATE_mean"], np.hypot(1.0, 2.0),
+                                   atol=1e-9)
+        # a rigid world-frame offset leaves relative poses untouched
+        assert m["t_RPE_mean"] < 1e-9 and m["r_RPE_mean"] < 1e-9
+
+    def test_too_short_returns_none(self):
+        from delta_graph_slam_tpu.utils.metrics import ate_rpe_se2
+
+        assert ate_rpe_se2([np.zeros(3)], [np.zeros(3)]) is None
