@@ -21,4 +21,17 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: the df BCR solver programs unroll
+# log2(N) levels of double-float block algebra and take minutes to
+# compile on a 1-core CI host. Caching compiled executables (keyed on
+# HLO, so any numerical change recompiles) keeps the fast gate inside
+# its <5 min contract; .github/workflows/ci.yml persists the directory
+# across runs with actions/cache.
+_cache_dir = os.environ.get(
+    "DGS_JAX_CACHE", os.path.expanduser("~/.cache/dgs_jax_cache")
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 assert jax.devices()[0].platform == "cpu", jax.devices()

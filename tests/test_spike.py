@@ -12,8 +12,25 @@ import jax
 import jax.numpy as jnp
 
 from delta_graph_slam_tpu.graph.df_linalg import DFM, dfm
-from delta_graph_slam_tpu.graph.chain_solve import chain_core_solve_df
-from delta_graph_slam_tpu.parallel.spike import spike_core_solve_df
+from delta_graph_slam_tpu.graph.chain_solve import (
+    chain_core_solve_df as _chain_core_eager,
+)
+from delta_graph_slam_tpu.parallel.spike import (
+    spike_core_solve_df as _spike_core_eager,
+    spike_local_solve_df as _spike_local_eager,
+)
+
+# The df programs dispatch thousands of small ops; eagerly they cost
+# 20-120 s per call on a 1-core CI host. Jitted, the persistent XLA
+# compilation cache (tests/conftest.py) makes warm runs ~trace-time only
+# — this is what keeps the fast gate inside its <5 min contract.
+chain_core_solve_df = jax.jit(_chain_core_eager, static_argnames=("N",))
+spike_core_solve_df = jax.jit(
+    _spike_core_eager, static_argnames=("N", "p", "mesh_axis")
+)
+spike_local_solve_df = jax.jit(
+    _spike_local_eager, static_argnames=("N", "p", "Lc", "mesh_axis")
+)
 
 
 def _random_system(N=64, K=6, seed=0, kappa_boost=True):
@@ -112,8 +129,6 @@ class TestSpikeLocal:
     algebra, only the structurally-zero RHS columns are skipped."""
 
     def test_matches_core_and_f64(self):
-        from delta_graph_slam_tpu.parallel.spike import spike_local_solve_df
-
         N = 64
         Ad, Bd, b, off, x_ref = _random_system(N)
         free = jnp.ones((N, 3), jnp.float32)
@@ -137,8 +152,6 @@ class TestSpikeLocal:
         """Both endpoints of an edge in ONE segment: its two endpoint
         slots map to the same global capacitance column (the cross-slot
         df_add accumulation path)."""
-        from delta_graph_slam_tpu.parallel.spike import spike_local_solve_df
-
         N = 64
         Ad, Bd, b, off, x_ref = _random_system(N, K=4, seed=5)
         ei, ej, Ji, Jj, W = off
@@ -164,8 +177,6 @@ class TestSpikeLocal:
     def test_overflow_drops_whole_edge(self):
         """Slot overflow must drop complete edges (consistent weaker
         system), matching the core solve with those edges zero-weighted."""
-        from delta_graph_slam_tpu.parallel.spike import spike_local_solve_df
-
         N = 64
         Ad, Bd, b, off, _ = _random_system(N, K=6, seed=9)
         ei, ej, Ji, Jj, W = off
