@@ -34,6 +34,11 @@ import time
 import numpy as np
 
 import jax
+
+from delta_graph_slam_tpu.utils.jax_cache import enable_persistent_cache
+
+enable_persistent_cache("_dev")
+
 import jax.numpy as jnp
 
 
@@ -65,6 +70,24 @@ def _prefiltered_frames(frames, capacity=16384, seed=0):
     return out
 
 
+def _reanchor_gt(frames):
+    """gt poses re-anchored at the first frame (identity start).
+
+    The backend's map frame is anchored at the first GPS fix (== the
+    first frame's position), while the sim's gt_pose is world-absolute
+    (the trajectory starts at x=-50): the reference compares estimate vs
+    gt with NO trajectory alignment
+    (/root/reference/apps/delta_graph_slam_nodelet.cpp:1223-1251) because
+    its KITTI gt also starts at identity in the map frame — so the bench
+    must feed gt in the same convention or ATE reports the constant
+    anchor offset (measured 48.2 m with 0.66 m std) instead of error."""
+    from delta_graph_slam_tpu.geom.host import se2_compose_np, se2_inverse_np
+
+    gt0_inv = se2_inverse_np(np.asarray(frames[0].gt_pose, float))
+    return [se2_compose_np(gt0_inv, np.asarray(fr.gt_pose, float))
+            for fr in frames]
+
+
 def bench_e2e(n_frames=240, warmup_frames=10):
     """Full delta pipeline scans/sec (prefilter + odometry + backend with
     building alignment + LM), stage-pipelined, compile excluded via
@@ -91,9 +114,10 @@ def bench_e2e(n_frames=240, warmup_frames=10):
                 raise pipe._worker_error
             time.sleep(0.005)
 
-    for fr in frames[:warmup_frames]:
+    gts = _reanchor_gt(frames)
+    for fr, gt in zip(frames[:warmup_frames], gts):
         pipe.on_gps(fr.stamp, *fr.gps)
-        pipe.on_points(fr.stamp, fr.points, gt_pose=fr.gt_pose)
+        pipe.on_points(fr.stamp, fr.points, gt_pose=gt)
     drain(warmup_frames)   # timing starts from idle stage workers
     # compile the whole optimizer cycle (flush/info-matrix/loop/levels/
     # de-overlap) before the clock starts; the solver capacities are
@@ -112,7 +136,7 @@ def bench_e2e(n_frames=240, warmup_frames=10):
     third = n_frames // 3
     for k, fr in enumerate(frames[warmup_frames:]):
         pipe.on_gps(fr.stamp, *fr.gps)
-        pipe.on_points(fr.stamp, fr.points, gt_pose=fr.gt_pose)
+        pipe.on_points(fr.stamp, fr.points, gt_pose=gts[warmup_frames + k])
         if (k + 1) % third == 0:
             drain(warmup_frames + k + 1)
             marks.append(time.perf_counter())
@@ -152,9 +176,10 @@ def bench_hdl_e2e(n_frames=120, warmup_frames=10):
                 raise pipe._worker_error
             time.sleep(0.005)
 
-    for fr in frames[:warmup_frames]:
+    gts = _reanchor_gt(frames)
+    for fr, gt in zip(frames[:warmup_frames], gts):
         pipe.on_gps(fr.stamp, *fr.gps)
-        pipe.on_points(fr.stamp, fr.points, gt_pose=fr.gt_pose)
+        pipe.on_points(fr.stamp, fr.points, gt_pose=gt)
     drain(warmup_frames)
     pipe.backend.optimization_step()
     pipe.backend.optimization_step()
@@ -162,9 +187,9 @@ def bench_hdl_e2e(n_frames=120, warmup_frames=10):
     pipe.backend.timer.reset()
 
     t0 = time.perf_counter()
-    for fr in frames[warmup_frames:]:
+    for k, fr in enumerate(frames[warmup_frames:]):
         pipe.on_gps(fr.stamp, *fr.gps)
-        pipe.on_points(fr.stamp, fr.points, gt_pose=fr.gt_pose)
+        pipe.on_points(fr.stamp, fr.points, gt_pose=gts[warmup_frames + k])
     drain(warmup_frames + n_frames)
     dt = time.perf_counter() - t0
     pipe.finish()

@@ -248,6 +248,10 @@ def main():
         return
     import jax
 
+    from delta_graph_slam_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache("_mesh")
+
     assert len(jax.devices()) >= N_DEVICES, jax.devices()
     bench_sharded_lm()
     bench_sharded_lm_warm()

@@ -164,6 +164,12 @@ def _cmd_convert_ford(args):
 
 
 def main(argv=None):
+    # compiled-program reuse across CLI invocations (a cold `run` spends
+    # ~10 min in remote TPU compiles; warm restarts start in seconds)
+    from .utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache("_dev")
+
     p = argparse.ArgumentParser(prog="delta_graph_slam_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -93,9 +93,20 @@ def _delta_preset() -> PipelineConfig:
 
 
 def _hdl_preset(name="hdl", **over) -> PipelineConfig:
-    """hdl_graph_slam.launch family (upstream SE3 pipeline)."""
-    reg = RegistrationConfig(method="NDT_OMP", resolution=1.0,
-                             nn_search_method="DIRECT7")
+    """hdl_graph_slam.launch family (upstream SE3 pipeline).
+
+    Registration: every hdl launch file overrides the nodelet's NDT_OMP
+    code default to FAST_GICP with the same tuning as the delta launch
+    (hdl_graph_slam_400.launch:59-68; "FAST_GICP(recommended)").
+    NDT stays available via RegistrationConfig(method="NDT_OMP") — but
+    its exponential outlier weight needs the guess within ~the voxel
+    normal-sigma, which frame-to-keyframe tracking does not guarantee,
+    exactly why the launches pick FAST_GICP.
+    """
+    reg = RegistrationConfig(method="FAST_GICP", transformation_epsilon=0.1,
+                             maximum_iterations=64,
+                             max_correspondence_distance=2.0,
+                             correspondence_randomness=20, resolution=1.0)
     floor = FloorDetectionConfig(
         sensor_height=over.pop("sensor_height", 2.0),
         height_clip_range=1.0, floor_pts_thresh=512,

@@ -135,12 +135,20 @@ def _se2_of(T4):
 
 def _locked(fn):
     """Serialize backend entry points on self.lock (RLock): message
-    callbacks and the optimization step may run on different threads."""
+    callbacks and the optimization step may run on different threads.
+    Wait time is recorded per entry point (lock_wait.<name>) so stage
+    means separate real work from cross-thread serialization."""
     import functools
+    import time as _time
 
     @functools.wraps(fn)
     def wrapper(self, *a, **kw):
+        t0 = _time.perf_counter()
         with self.lock:
+            dt = _time.perf_counter() - t0
+            if dt > 1e-4:
+                self.timer.totals["lock_wait." + fn.__name__] += dt
+                self.timer.counts["lock_wait." + fn.__name__] += 1
             return fn(self, *a, **kw)
 
     return wrapper
@@ -277,8 +285,9 @@ class DeltaBackend:
 
         # reverse-Mercator of the current estimated position (:243-251)
         xyz = np.array([map_pose[0], map_pose[1], 0.0]) + self.origin
-        gps = np.asarray(gps_from_mercator(jnp.asarray(xyz), scale=self.scale))
-        buildings = self.buildings_manager.get_buildings(gps[0], gps[1])
+        gps = gps_from_mercator(xyz, scale=self.scale)
+        with self.timer.stage("get_buildings"):
+            buildings = self.buildings_manager.get_buildings(gps[0], gps[1])
 
         estimated_odom = map_pose.copy()
         result = None
