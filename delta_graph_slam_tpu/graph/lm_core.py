@@ -355,10 +355,16 @@ def lm_optimize(linearize_fn, chi2_fn, apply_fn, state0, free, cfg: SolverConfig
         lam_dec = lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
         lam_n = jnp.where(accept, lam_dec, lam * nu).astype(dtype)
         nu_n = jnp.where(accept, 2.0, nu * 2.0).astype(dtype)
-        converged = accept & (
-            ((chi2 - chi2_n) <= cfg.chi2_rel_tol * jnp.maximum(chi2, 1e-30))
-            | (jnp.sum(dx * dx) < cfg.dx_tol)
-        )
+        # termination: accepted step with negligible gain, or a step so
+        # small no progress is possible. The dx test applies on REJECTED
+        # steps too: near the optimum every trial is rejected and dx
+        # shrinks ~1/lambda — without it the loop walks lambda all the
+        # way to 1e12 (~56 useless 47 ms iterations per warm-started
+        # cycle, the hdl backend's 3 s-cadence regime).
+        converged = (
+            accept
+            & ((chi2 - chi2_n) <= cfg.chi2_rel_tol * jnp.maximum(chi2, 1e-30))
+        ) | (jnp.sum(dx * dx) < cfg.dx_tol)
         return state_n, sys_n, lam_n, nu_n, chi2_n, it + 1, converged
 
     def cond(carry):

@@ -431,9 +431,9 @@ class SE3GraphBuilder:
             c *= 2
         return c
 
-    def _pack(self, etype, fields, mdim, idim, extra=()):
+    def _pack(self, etype, fields, mdim, idim, extra=(), minimum=4):
         es = [e for e in self.edges if e["type"] == etype]
-        ec = self._cap(len(es))
+        ec = self._cap(len(es), minimum=minimum)
         dtype = self.dtype
         out = {f: np.zeros(ec, np.int32) for f in fields}
         out["meas"] = np.zeros((ec,) + mdim, dtype)
@@ -461,10 +461,20 @@ class SE3GraphBuilder:
             out["mask"][k] = True
         return out
 
-    def to_arrays(self, dtype=None) -> SE3Graph:
+    def to_arrays(self, dtype=None, v_capacity=None, e_capacity=None,
+                  prior_capacity=None) -> SE3Graph:
+        """Pack to padded device arrays. v_capacity / e_capacity /
+        prior_capacity set capacity FLOORS (still pow2-doubled past them):
+        a long-running backend preallocates at session scale so every
+        3 s-cadence cycle reuses ONE compiled solver program instead of
+        recompiling at each pow2 growth step (the r4 hdl pipeline's 0.56
+        scans/s was mostly solver recompiles through the remote tunnel)."""
         dtype = dtype or self.dtype
         nv, npl, npt = len(self.poses), len(self.planes), len(self.points)
-        vc, pc, qc = self._cap(nv), self._cap(npl), self._cap(npt)
+        vc = self._cap(nv, minimum=v_capacity or 4)
+        pc, qc = self._cap(npl), self._cap(npt)
+        ec = e_capacity or 4
+        rc = prior_capacity or 4
 
         poses = np.zeros((vc, 7), dtype)
         poses[:, 3] = 1.0
@@ -490,28 +500,28 @@ class SE3GraphBuilder:
         qfixed, qmask = msk(qc, npt, self.point_fixed)
 
         J = jnp.asarray
-        e = self._pack("se3", ("i", "j"), (7,), (6, 6))
+        e = self._pack("se3", ("i", "j"), (7,), (6, 6), minimum=ec)
         edges = SE3Edges(J(e["i"]), J(e["j"]), J(e["meas"]), J(e["info"]),
                          J(e["level"]), J(e["kernel"]), J(e["delta"]), J(e["mask"]))
         # identity quaternion for padded measurement slots
         fixq = np.array(edges.meas)
         fixq[~np.asarray(edges.mask), 3] = 1.0
         edges = edges._replace(meas=J(fixq))
-        e = self._pack("xy", ("i",), (2,), (2, 2))
+        e = self._pack("xy", ("i",), (2,), (2, 2), minimum=rc)
         pxy = SE3PriorXYEdges(J(e["i"]), J(e["meas"]), J(e["info"]),
                               J(e["level"]), J(e["kernel"]), J(e["delta"]), J(e["mask"]))
-        e = self._pack("xyz", ("i",), (3,), (3, 3))
+        e = self._pack("xyz", ("i",), (3,), (3, 3), minimum=rc)
         pxyz = SE3PriorXYZEdges(J(e["i"]), J(e["meas"]), J(e["info"]),
                                 J(e["level"]), J(e["kernel"]), J(e["delta"]), J(e["mask"]))
-        e = self._pack("vec", ("i",), (6,), (3, 3))
+        e = self._pack("vec", ("i",), (6,), (3, 3), minimum=rc)
         pvec = SE3PriorVecEdges(J(e["i"]), J(e["meas"]), J(e["info"]),
                                 J(e["level"]), J(e["kernel"]), J(e["delta"]), J(e["mask"]))
-        e = self._pack("quat", ("i",), (4,), (3, 3))
+        e = self._pack("quat", ("i",), (4,), (3, 3), minimum=rc)
         mq = e["meas"]
         mq[~e["mask"], 0] = 1.0
         pquat = SE3PriorQuatEdges(J(e["i"]), J(mq), J(e["info"]),
                                   J(e["level"]), J(e["kernel"]), J(e["delta"]), J(e["mask"]))
-        e = self._pack("se3plane", ("i", "p"), (4,), (3, 3))
+        e = self._pack("se3plane", ("i", "p"), (4,), (3, 3), minimum=rc)
         mpl = e["meas"]
         mpl[~e["mask"], 2] = 1.0
         spl = SE3PlaneEdges(J(e["i"]), J(e["p"]), J(mpl), J(e["info"]),

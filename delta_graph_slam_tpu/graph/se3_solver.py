@@ -333,12 +333,16 @@ def _make_optimize(cfg: SolverConfig):
 _OPT_CACHE = {}
 
 
-def optimize_se3(graph: SE3Graph, level=0, config: SolverConfig = None):
+def optimize_se3(graph: SE3Graph, level=0, config: SolverConfig = None,
+                 offrank_floor: int = 0):
     """Optimize; returns ((poses, planes, points), SolverStats).
 
     backend="chain" routes through the hub-elimination direct solve
     (graph/hub_solve.py): poses form the BCR chain, every plane/point
-    slot is a hub vertex eliminated via its small dense block."""
+    slot is a hub vertex eliminated via its small dense block.
+    offrank_floor: minimum loop-edge (Woodbury) capacity — long-running
+    backends preallocate it so loop-closure growth reuses one compiled
+    program instead of recompiling at each pow2 bump."""
     config = config or SolverConfig()
     if config.backend == "chain":
         import numpy as np
@@ -354,7 +358,7 @@ def optimize_se3(graph: SE3Graph, level=0, config: SolverConfig = None):
         ej = np.asarray(graph.edges.j)
         em = np.asarray(graph.edges.mask)
         n_off = int(np.sum(em & (np.abs(ei - ej) > 1)))
-        k = 4
+        k = max(4, offrank_floor)
         while k < n_off:
             k *= 2
         if (config.chain_hubs, config.chain_coupling_capacity,

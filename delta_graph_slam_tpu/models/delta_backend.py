@@ -133,18 +133,27 @@ def _se2_of(T4):
     return transform_3d_to_2d_np(T4)
 
 
-def _locked(fn):
-    """Serialize backend entry points on self.lock (RLock): message
-    callbacks and the optimization step may run on different threads.
-    Wait time is recorded per entry point (lock_wait.<name>) so stage
-    means separate real work from cross-thread serialization."""
+def _locked(fn, attr="lock"):
+    """Serialize an entry point on a named backend lock. Wait time is
+    recorded per entry point (lock_wait.<name>) so stage means separate
+    real work from cross-thread serialization.
+
+    The backend mirrors the reference's fine-grained mutex shape
+    (delta_graph_slam_nodelet.cpp:1316-1355): the expensive per-keyframe
+    work (get_buildings HTTP + align_global) runs OUTSIDE any lock shared
+    with the optimizer — cloud_callback only touches trans_odom2map (its
+    own tiny lock) and the keyframe queue (its own lock), exactly like
+    the reference's cloud_callback (:344-358). The r4 design serialized
+    every entry point on ONE RLock with the ~2 s align_global inside it,
+    which measured as ~55 s of feeder-thread blocking per bench window
+    (BENCH_r04 lock_wait.gps_callback)."""
     import functools
     import time as _time
 
     @functools.wraps(fn)
     def wrapper(self, *a, **kw):
         t0 = _time.perf_counter()
-        with self.lock:
+        with getattr(self, attr):
             dt = _time.perf_counter() - t0
             if dt > 1e-4:
                 self.timer.totals["lock_wait." + fn.__name__] += dt
@@ -198,10 +207,16 @@ class DeltaBackend:
         self.anchor_edge_id: Optional[int] = None
         self.overlap_edge_ids: List[int] = []
         self.read_until_stamp = 0.0
-        # callbacks and the optimization step run on different threads in
-        # the pipeline's threaded mode (the reference's keyframe_queue /
-        # main-thread mutexes, delta_graph_slam_nodelet.cpp:202,:793)
-        self.lock = threading.RLock()
+        # The reference's four-mutex shape (delta_graph_slam_nodelet.cpp
+        # :1316-1355): graph/keyframes/snapshots behind the main lock
+        # (held only by the optimizer + checkpointing), each message queue
+        # behind its own tiny lock, and trans_odom2map behind its own —
+        # so the per-keyframe align_global/get_buildings in cloud_callback
+        # never blocks the optimizer or the GPS feed (and vice versa).
+        self.lock = threading.RLock()            # main_thread_mutex
+        self.kf_queue_lock = threading.Lock()    # keyframe_queue_mutex
+        self.gps_queue_lock = threading.Lock()   # gps_queue_mutex
+        self.odom2map_lock = threading.Lock()    # trans_odom2map_mutex
 
     # ------------------------------------------------------------- poses
     @property
@@ -209,35 +224,50 @@ class DeltaBackend:
         return np.stack(self.graph.poses) if self.graph.poses else np.zeros((0, 3))
 
     # ---------------------------------------------------------- gps path
-    @_locked
+    # Graph mutations on behalf of the building manager: buildings are
+    # discovered on the cloud_callback / download threads while the
+    # optimizer may hold the graph — serialize on the main lock (the
+    # reference mutates g2o from the callback thread unguarded,
+    # building_tools.cpp:137-148; we close that race).
+    def _graph_add_vertex(self, pose):
+        with self.lock:
+            return self.graph.add_vertex(pose)
+
+    def _graph_add_prior_xy(self, v, xy, w):
+        with self.lock:
+            return self.graph.add_prior_xy(v, xy, np.eye(2) * w, level=1)
+
+    def _graph_add_prior_yaw(self, v, yaw, w):
+        with self.lock:
+            return self.graph.add_prior_yaw(v, yaw, w, level=1)
+
     def gps_callback(self, stamp, lat, lon, alt=0.0):
         stamp = stamp + self.cfg.gps_time_offset
-        if self.origin is None:
-            self.scale = float(mercator_scale(lat))
-            xyz = np.asarray(
-                mercator_from_gps(np.float64(lat), np.float64(lon),
-                                  np.float64(alt), scale=self.scale)
-            )
-            self.origin = xyz.copy()
-            provider = self._building_provider or OverpassProvider(
-                self.cfg.overpass_host
-            )
-            self.buildings_manager = BuildingManager(
-                provider, self.origin, self.scale,
-                graph_add_vertex=lambda pose: self.graph.add_vertex(pose),
-                graph_add_prior_xy=lambda v, xy, w: self.graph.add_prior_xy(
-                    v, xy, np.eye(2) * w, level=1
-                ),
-                graph_add_prior_yaw=lambda v, yaw, w: self.graph.add_prior_yaw(
-                    v, yaw, w, level=1
-                ),
-                radius=self.cfg.nearby_buildings_radius,
-                buffer_radius=self.cfg.buffer_buildings_radius,
-            )
-            self.buildings_manager.get_buildings(lat, lon)
-        self.gps_queue.append((stamp, lat, lon))
+        with self.gps_queue_lock:
+            first = self.origin is None
+            if first:
+                self.scale = float(mercator_scale(lat))
+                xyz = np.asarray(
+                    mercator_from_gps(np.float64(lat), np.float64(lon),
+                                      np.float64(alt), scale=self.scale)
+                )
+                self.origin = xyz.copy()
+                provider = self._building_provider or OverpassProvider(
+                    self.cfg.overpass_host
+                )
+                mgr = BuildingManager(
+                    provider, self.origin, self.scale,
+                    graph_add_vertex=self._graph_add_vertex,
+                    graph_add_prior_xy=self._graph_add_prior_xy,
+                    graph_add_prior_yaw=self._graph_add_prior_yaw,
+                    radius=self.cfg.nearby_buildings_radius,
+                    buffer_radius=self.cfg.buffer_buildings_radius,
+                )
+            self.gps_queue.append((stamp, lat, lon))
+        if first:
+            mgr.get_buildings(lat, lon)
+            self.buildings_manager = mgr  # publish only once initialized
 
-    @_locked
     def nmea_callback(self, stamp, sentence):
         rmc = self.nmea_parser.parse(sentence)
         if rmc.valid:
@@ -246,7 +276,6 @@ class DeltaBackend:
     def navsat_callback(self, stamp, lat, lon, alt):
         self.gps_callback(stamp, lat, lon, alt)
 
-    @_locked
     def imu_callback(self, quat_wxyz):
         """First IMU message fixes the initial orientation (:388-421)."""
         if self._imu_seen:
@@ -259,19 +288,32 @@ class DeltaBackend:
         self.initial_orientation_yaw = yaw
         if self.cfg.use_imu_for_initial_orientation:
             rot = np.array([0.0, 0.0, yaw])
-            self.trans_odom2map = se2_compose_np(rot, self.trans_odom2map)
+            with self.odom2map_lock:
+                self.trans_odom2map = se2_compose_np(rot, self.trans_odom2map)
             self._update_anchor(rot)
 
     def _update_anchor(self, pose):
-        if self.anchor_node is not None and self.keyframes:
-            self.graph.set_pose(self.anchor_node, pose)
+        with self.lock:
+            if self.anchor_node is not None and self.keyframes:
+                self.graph.set_pose(self.anchor_node, pose)
+
+    def _get_odom2map(self):
+        with self.odom2map_lock:
+            return self.trans_odom2map.copy()
 
     # ------------------------------------------------------ keyframe path
-    @_locked
     def cloud_callback(self, stamp, odom_4x4, cloud, flat_cloud,
                        gt_pose=None):
-        """Synchronized (odom, cloud, flat_cloud) arrival (:202-359)."""
-        if self.buildings_manager is None:
+        """Synchronized (odom, cloud, flat_cloud) arrival (:202-359).
+
+        Deliberately lock-free on the expensive path: get_buildings and
+        align_global run without holding any lock the optimizer needs
+        (the reference computes align_global before taking
+        keyframe_queue_mutex, delta:278,:344-358). Must be called from a
+        single thread (the pipeline's backend worker) — keyframe_updater
+        state is not shared with any other entry point."""
+        mgr = self.buildings_manager
+        if mgr is None:
             return  # :206-209
         odom2d = _se2_of(odom_4x4)
         add_keyframe = self.keyframe_updater.update(odom2d)
@@ -280,14 +322,14 @@ class DeltaBackend:
                 self.read_until_stamp = stamp + 3.0
             return
 
-        odom2map = self.trans_odom2map
+        odom2map = self._get_odom2map()
         map_pose = se2_compose_np(odom2map, odom2d)
 
         # reverse-Mercator of the current estimated position (:243-251)
         xyz = np.array([map_pose[0], map_pose[1], 0.0]) + self.origin
         gps = gps_from_mercator(xyz, scale=self.scale)
         with self.timer.stage("get_buildings"):
-            buildings = self.buildings_manager.get_buildings(gps[0], gps[1])
+            buildings = mgr.get_buildings(gps[0], gps[1])
 
         estimated_odom = map_pose.copy()
         result = None
@@ -312,7 +354,8 @@ class DeltaBackend:
                 trans = se2_compose_np(odom2map, odom_trans2d)
                 trans[:2] = 0.0
                 self._update_anchor(trans)
-                self.trans_odom2map = trans
+                with self.odom2map_lock:
+                    self.trans_odom2map = trans
 
         if add_keyframe:
             accum_d = self.keyframe_updater.get_accum_distance()
@@ -325,16 +368,21 @@ class DeltaBackend:
                 global_alignment=result, near_buildings=buildings,
                 gt_pose=None if gt_pose is None else np.asarray(gt_pose),
             )
-            self.keyframe_queue.append(kf)
+            with self.kf_queue_lock:
+                self.keyframe_queue.append(kf)
 
     # --------------------------------------------------------- queue flush
     def flush_keyframe_queue(self) -> bool:
-        if not self.keyframe_queue:
-            return False
-        odom2map = self.trans_odom2map
-        n = min(len(self.keyframe_queue), self.cfg.max_keyframes_per_update)
+        with self.kf_queue_lock:
+            if not self.keyframe_queue:
+                return False
+            n = min(len(self.keyframe_queue),
+                    self.cfg.max_keyframes_per_update)
+            batch = self.keyframe_queue[:n]
+            del self.keyframe_queue[:n]
+        odom2map = self._get_odom2map()
         for i in range(n):
-            kf = self.keyframe_queue[i]
+            kf = batch[i]
             self.new_keyframes.append(kf)
             odom = se2_compose_np(odom2map, kf.odom2d)
             kf.node_id = self.graph.add_vertex(odom)
@@ -346,7 +394,7 @@ class DeltaBackend:
                     self.anchor_node, kf.node_id, np.zeros(3), np.eye(3)
                 )
                 continue
-            prev = self.keyframes[-1] if i == 0 else self.keyframe_queue[i - 1]
+            prev = self.keyframes[-1] if i == 0 else batch[i - 1]
             # reversed measurement convention (:570-571)
             rel2d = se2_compose_np(se2_inverse_np(kf.odom2d), prev.odom2d)
             rel3d = np.linalg.inv(kf.odom) @ prev.odom
@@ -359,14 +407,15 @@ class DeltaBackend:
                 kernel=self.cfg.odometry_edge_robust_kernel,
                 delta=self.cfg.odometry_edge_robust_kernel_size,
             )
-        del self.keyframe_queue[:n]
         return True
 
     def flush_gps_queue(self) -> bool:
-        if not self.keyframes or not self.gps_queue:
+        with self.gps_queue_lock:
+            gps_queue = list(self.gps_queue)
+        if not self.keyframes or not gps_queue:
             return False
         updated = False
-        stamps = [g[0] for g in self.gps_queue]
+        stamps = [g[0] for g in gps_queue]
         for kf in self.keyframes:
             if kf.stamp > stamps[-1]:
                 break
@@ -376,7 +425,7 @@ class DeltaBackend:
             j = int(np.argmin(dt))
             if dt[j] > 0.1:
                 continue
-            _, lat, lon = self.gps_queue[j]
+            _, lat, lon = gps_queue[j]
             xyz = np.asarray(
                 mercator_from_gps(np.float64(lat), np.float64(lon), 0.0,
                                   scale=self.scale)
@@ -393,7 +442,8 @@ class DeltaBackend:
                 )
                 updated = True
         last = self.keyframes[-1].stamp
-        self.gps_queue = [g for g in self.gps_queue if g[0] > last]
+        with self.gps_queue_lock:
+            self.gps_queue = [g for g in self.gps_queue if g[0] > last]
         return updated
 
     # --------------------------------------------------- building updates
@@ -410,7 +460,7 @@ class DeltaBackend:
         if not self.cfg.enable_buildings or not self.new_keyframes:
             return False
         updated = False
-        odom2map = self.trans_odom2map
+        odom2map = self._get_odom2map()
 
         pairs = []
         for idx, kf in enumerate(self.new_keyframes):
@@ -515,7 +565,10 @@ class DeltaBackend:
         """
         if self.buildings_manager is None:
             return []
-        bs = self.buildings_manager.buildings
+        # snapshot: the cloud_callback thread may append new buildings
+        # while the optimizer runs (list() is atomic under the GIL;
+        # Building entities are immutable after creation)
+        bs = list(self.buildings_manager.buildings)
         if len(bs) < 2:
             return []
         poses = self.poses
@@ -692,9 +745,10 @@ class DeltaBackend:
             poses = self.poses
             last = self.keyframes[-1]
             est = last.estimate(poses)
-            self.trans_odom2map = se2_compose_np(
-                est, se2_inverse_np(last.odom2d)
-            )
+            with self.odom2map_lock:
+                self.trans_odom2map = se2_compose_np(
+                    est, se2_inverse_np(last.odom2d)
+                )
             self.snapshots = [
                 KeyFrameSnapshot(
                     pose=kf.estimate(poses), cloud=kf.cloud,
@@ -717,7 +771,7 @@ class DeltaBackend:
             poses = self.poses
             raw = []
             aligned = []
-            for b in self.buildings_manager.buildings:
+            for b in list(self.buildings_manager.buildings):
                 pts = np.asarray(b.cloud.points)[np.asarray(b.cloud.mask)]
                 raw.append(pts)
                 ac = b.get_cloud(poses)

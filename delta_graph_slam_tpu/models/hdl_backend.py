@@ -22,7 +22,6 @@ from typing import List, Optional
 import numpy as np
 import jax.numpy as jnp
 
-from ..geom.se3 import transform_3d_to_2d
 from ..geom.host import transform_3d_to_2d_np
 from ..geom.projection import mercator_from_gps, mercator_scale
 from ..graph import SE3GraphBuilder, SolverConfig, optimize_se3
@@ -48,6 +47,15 @@ class HdlBackendConfig:
     fix_first_node: bool = True
     fix_first_node_adaptive: bool = True
     g2o_solver_num_iterations: int = 512
+    # preallocated solver capacities (static XLA shapes, pow2-doubled
+    # past these): the 3 s-cadence cycles must reuse ONE compiled solver
+    # program — without floors every pow2 growth step recompiles the
+    # SE3 hub solve (~20-60 s through the remote compile helper), which
+    # measured as the dominant cost of the r4 hdl e2e (0.56 scans/s).
+    solver_v_capacity: int = 256
+    solver_e_capacity: int = 512
+    solver_prior_capacity: int = 512
+    solver_offrank_capacity: int = 64
     # floor
     enable_floor: bool = True
     floor_edge_stddev: float = 10.0
@@ -124,12 +132,19 @@ class HdlBackend:
         self.scale = None
         self._planes = None
         self._points = None
-        # callbacks vs optimization step may run on different threads
-        self.lock = threading.RLock()
+        # fine-grained mutexes mirroring the reference nodelet shape
+        # (delta_graph_slam_nodelet.cpp:1316-1355): message callbacks only
+        # touch their own queue lock, so they never block on the
+        # multi-second optimize that holds the main lock.
+        self.lock = threading.RLock()             # graph + keyframes
+        self.kf_queue_lock = threading.Lock()     # keyframe_queue
+        self.aux_queue_lock = threading.Lock()    # floor/gps/imu queues
 
     # ------------------------------------------------------------- inputs
-    @_locked
     def cloud_callback(self, stamp, odom_4x4, cloud, gt_pose=None):
+        """Single-threaded caller contract (the pipeline's backend
+        worker): keyframe_updater state is not shared with any other
+        entry point; only the queue push is cross-thread."""
         odom = np.asarray(odom_4x4, float)
         odom2d = transform_3d_to_2d_np(odom)
         if not self.keyframe_updater.update(odom2d):
@@ -140,37 +155,44 @@ class HdlBackend:
             cloud=cloud, flat_cloud=None,
             gt_pose=None if gt_pose is None else np.asarray(gt_pose),
         )
-        self.keyframe_queue.append(kf)
+        with self.kf_queue_lock:
+            self.keyframe_queue.append(kf)
 
-    @_locked
     def floor_coeffs_callback(self, stamp, coeffs):
         if coeffs is not None:
-            self.floor_queue.append((stamp, np.asarray(coeffs, float)))
+            with self.aux_queue_lock:
+                self.floor_queue.append((stamp, np.asarray(coeffs, float)))
 
-    @_locked
     def gps_callback(self, stamp, lat, lon, alt=0.0):
-        if self.origin is None:
-            self.scale = float(mercator_scale(lat))
-            self.origin = np.asarray(
-                mercator_from_gps(np.float64(lat), np.float64(lon),
-                                  np.float64(alt), scale=self.scale)
+        with self.aux_queue_lock:
+            if self.origin is None:
+                self.scale = float(mercator_scale(lat))
+                self.origin = np.asarray(
+                    mercator_from_gps(np.float64(lat), np.float64(lon),
+                                      np.float64(alt), scale=self.scale)
+                )
+            self.gps_queue.append(
+                (stamp + self.cfg.gps_time_offset, lat, lon, alt)
             )
-        self.gps_queue.append((stamp + self.cfg.gps_time_offset, lat, lon, alt))
 
-    @_locked
     def imu_callback(self, stamp, quat_wxyz, linear_acceleration):
-        self.imu_queue.append(
-            (stamp, np.asarray(quat_wxyz, float),
-             np.asarray(linear_acceleration, float))
-        )
+        with self.aux_queue_lock:
+            self.imu_queue.append(
+                (stamp, np.asarray(quat_wxyz, float),
+                 np.asarray(linear_acceleration, float))
+            )
 
     # ----------------------------------------------------------- flushing
     def flush_keyframe_queue(self) -> bool:
-        if not self.keyframe_queue:
-            return False
-        n = min(len(self.keyframe_queue), self.cfg.max_keyframes_per_update)
+        with self.kf_queue_lock:
+            if not self.keyframe_queue:
+                return False
+            n = min(len(self.keyframe_queue),
+                    self.cfg.max_keyframes_per_update)
+            batch = self.keyframe_queue[:n]
+            del self.keyframe_queue[:n]
         for i in range(n):
-            kf = self.keyframe_queue[i]
+            kf = batch[i]
             self.new_keyframes.append(kf)
             kf.node_id = self.graph.add_se3_node(kf.odom)
             if not self.keyframes and len(self.new_keyframes) == 1:
@@ -182,7 +204,7 @@ class HdlBackend:
                         self.anchor_node, kf.node_id, np.eye(4), np.eye(6)
                     )
                 continue
-            prev = self.keyframes[-1] if i == 0 else self.keyframe_queue[i - 1]
+            prev = self.keyframes[-1] if i == 0 else batch[i - 1]
             rel = np.linalg.inv(prev.odom) @ kf.odom
             info = self.inf_calculator.calc_information_matrix_se3(
                 prev.cloud, kf.cloud, np.linalg.inv(rel)
@@ -192,17 +214,22 @@ class HdlBackend:
                 kernel=self.cfg.odometry_edge_robust_kernel,
                 delta=self.cfg.odometry_edge_robust_kernel_size,
             )
-        del self.keyframe_queue[:n]
         return True
 
     def flush_floor_queue(self) -> bool:
-        if not self.cfg.enable_floor or not self.floor_queue:
+        with self.aux_queue_lock:
+            floor_queue, self.floor_queue = self.floor_queue, []
+        if not self.cfg.enable_floor or not floor_queue:
             return False
         if not (self.keyframes or self.new_keyframes):
+            # keep for the next cycle (reference leaves unmatched coeffs
+            # queued until keyframes exist)
+            with self.aux_queue_lock:
+                self.floor_queue = floor_queue + self.floor_queue
             return False
         updated = False
         allk = self.keyframes + self.new_keyframes
-        for stamp, coeffs in self.floor_queue:
+        for stamp, coeffs in floor_queue:
             # closest keyframe within 0.1 s
             dt = [abs(k.stamp - stamp) for k in allk]
             j = int(np.argmin(dt))
@@ -224,10 +251,12 @@ class HdlBackend:
         return updated
 
     def flush_gps_queue(self) -> bool:
-        if not self.cfg.enable_gps or not self.gps_queue or not self.keyframes:
+        with self.aux_queue_lock:
+            gps_queue = list(self.gps_queue)
+        if not self.cfg.enable_gps or not gps_queue or not self.keyframes:
             return False
         updated = False
-        stamps = [g[0] for g in self.gps_queue]
+        stamps = [g[0] for g in gps_queue]
         for kf in self.keyframes:
             if kf.gps_coord is not None:
                 continue
@@ -235,7 +264,7 @@ class HdlBackend:
             j = int(np.argmin(dt))
             if dt[j] > 0.2:
                 continue
-            _, lat, lon, alt = self.gps_queue[j]
+            _, lat, lon, alt = gps_queue[j]
             xyz = np.asarray(
                 mercator_from_gps(np.float64(lat), np.float64(lon),
                                   np.float64(alt), scale=self.scale)
@@ -261,23 +290,27 @@ class HdlBackend:
                 )
             updated = True
         last = self.keyframes[-1].stamp
-        self.gps_queue = [g for g in self.gps_queue if g[0] > last]
+        with self.aux_queue_lock:
+            self.gps_queue = [g for g in self.gps_queue if g[0] > last]
         return updated
 
     def flush_imu_queue(self) -> bool:
-        if not self.imu_queue or not self.keyframes:
+        with self.aux_queue_lock:
+            imu_queue = list(self.imu_queue)
+        if not imu_queue or not self.keyframes:
             return False
         if not (self.cfg.enable_imu_acceleration or self.cfg.enable_imu_orientation):
-            self.imu_queue = []
+            with self.aux_queue_lock:
+                self.imu_queue = []
             return False
         updated = False
-        stamps = [m[0] for m in self.imu_queue]
+        stamps = [m[0] for m in imu_queue]
         for kf in self.keyframes:
             dt = [abs(s - kf.stamp) for s in stamps]
             j = int(np.argmin(dt))
             if dt[j] > 0.1:
                 continue
-            _, quat, acc = self.imu_queue[j]
+            _, quat, acc = imu_queue[j]
             if self.cfg.enable_imu_orientation:
                 info = np.eye(3) / self.cfg.imu_orientation_stddev
                 self.graph.add_se3_prior_quat_edge(
@@ -295,25 +328,37 @@ class HdlBackend:
                 )
                 updated = True
         last = self.keyframes[-1].stamp
-        self.imu_queue = [m for m in self.imu_queue if m[0] > last]
+        with self.aux_queue_lock:
+            self.imu_queue = [m for m in self.imu_queue if m[0] > last]
         return updated
 
     # --------------------------------------------------------- optimization
     @property
     def poses2d(self):
         """(V,3) SE2 projections of the SE3 keyframe estimates (for the
-        shared loop detector / marker interfaces)."""
+        shared loop detector / marker interfaces). Pure host numpy: the
+        r4 version built one jnp program per vertex, i.e. O(V) device
+        round-trips per optimization cycle through the tunnel."""
         if not self.graph.poses:
             return np.zeros((0, 3))
-        from ..geom.se3 import quat_to_rot
+        from ..geom.host import yaw_from_rot_np
 
-        out = np.zeros((len(self.graph.poses), 3))
-        for i, p in enumerate(self.graph.poses):
-            R = np.asarray(quat_to_rot(jnp.asarray(p[3:7])))
-            T = np.eye(4)
-            T[:3, :3] = R
-            T[:3, 3] = p[:3]
-            out[i] = np.asarray(transform_3d_to_2d(jnp.asarray(T)))
+        P = np.stack(self.graph.poses).astype(np.float64)
+        w, x, y, z = P[:, 3], P[:, 4], P[:, 5], P[:, 6]
+        R = np.empty((len(P), 3, 3))
+        R[:, 0, 0] = 1 - 2 * (y * y + z * z)
+        R[:, 0, 1] = 2 * (x * y - w * z)
+        R[:, 0, 2] = 2 * (x * z + w * y)
+        R[:, 1, 0] = 2 * (x * y + w * z)
+        R[:, 1, 1] = 1 - 2 * (x * x + z * z)
+        R[:, 1, 2] = 2 * (y * z - w * x)
+        R[:, 2, 0] = 2 * (x * z - w * y)
+        R[:, 2, 1] = 2 * (y * z + w * x)
+        R[:, 2, 2] = 1 - 2 * (x * x + y * y)
+        out = np.zeros((len(P), 3))
+        out[:, :2] = P[:, :2]
+        for i in range(len(P)):
+            out[i, 2] = yaw_from_rot_np(R[i])
         return out
 
     def compute_ate_rpe(self):
@@ -360,13 +405,26 @@ class HdlBackend:
         self.new_keyframes = []
 
         with self.timer.stage("optimize"):
-            g = self.graph.to_arrays()
+            vc = self.cfg.solver_v_capacity or None
+            g = self.graph.to_arrays(
+                v_capacity=vc,
+                e_capacity=self.cfg.solver_e_capacity or None,
+                prior_capacity=self.cfg.solver_prior_capacity or None,
+            )
             cfg = dataclasses.replace(
                 self.cfg.solver,
                 max_iterations=min(self.cfg.solver.max_iterations,
                                    self.cfg.g2o_solver_num_iterations),
             )
-            (poses, planes, points), s = optimize_se3(g, level=0, config=cfg)
+            # warm start is implicit: graph.poses carries the previous
+            # cycle's optimum (update_from below), mirroring g2o's
+            # persistent SparseOptimizer across the 3 s timer cycles
+            # (graph_slam.cpp:338-352); lm_core's dx-based termination
+            # makes an already-converged cycle exit in O(1) iterations.
+            (poses, planes, points), s = optimize_se3(
+                g, level=0, config=cfg,
+                offrank_floor=self.cfg.solver_offrank_capacity,
+            )
             self.graph.update_from(
                 np.asarray(poses), np.asarray(planes), np.asarray(points)
             )

@@ -39,7 +39,7 @@ def sync(x):
 
 def main():
     cfg = get_preset("delta")
-    sm = LineBasedScanmatcher(cfg.line_scanmatcher)
+    sm = LineBasedScanmatcher(cfg.delta.scanmatcher)
 
     # a city with enough buildings to draw real line sets from
     world = make_city_world(seed=3, n_buildings=48, extent=500.0)

@@ -51,7 +51,7 @@ def main():
     world, frames = raycast_city_sequence(n_frames=n_frames, speed=3.0)
     cfg = get_preset("delta")
     pre = PrefilteringStage(cfg.prefiltering)
-    sm = LineBasedScanmatcher(cfg.scanmatcher)
+    sm = LineBasedScanmatcher(cfg.delta.scanmatcher)
     lat0, lon0 = frames[0].gps[:2]
     scale = float(np.cos(np.radians(lat0)))
     origin = np.asarray(mercator_from_gps(np.float64(lat0),
@@ -62,7 +62,7 @@ def main():
     print(f"buildings: {len(buildings)}", flush=True)
 
     blines = _concat_lines([b.lines for b in buildings],
-                           capacity=cfg.scanmatcher.max_target_lines)
+                           capacity=cfg.delta.scanmatcher.max_target_lines)
 
     stages = {}
 
@@ -97,14 +97,14 @@ def main():
     trg = timeit("merge_target_lines", f_merge)
 
     def f_edges_src(k):
-        return edge_extraction(src_lines[k], capacity=cfg.scanmatcher.edge_capacity)
+        return edge_extraction(src_lines[k], capacity=cfg.delta.scanmatcher.edge_capacity)
     timeit("edge_extraction(src)", f_edges_src)
 
     def f_edges_trg(k):
-        return edge_extraction(trg, capacity=cfg.scanmatcher.target_edge_capacity)
+        return edge_extraction(trg, capacity=cfg.delta.scanmatcher.target_edge_capacity)
     te = timeit("edge_extraction(trg)", f_edges_trg)
 
-    se_list = [edge_extraction(s, capacity=cfg.scanmatcher.edge_capacity)
+    se_list = [edge_extraction(s, capacity=cfg.delta.scanmatcher.edge_capacity)
                for s in src_lines]
 
     def f_score(k):
