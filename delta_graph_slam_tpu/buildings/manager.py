@@ -124,6 +124,7 @@ class BuildingManager:
         self._thread: Optional[threading.Thread] = None
         self._nodes: Dict[str, tuple] = {}
         self._ways: List[tuple] = []
+        self._way_pts: Dict[str, np.ndarray] = {}  # way_id -> ENU pts
         self._have_data = False
         self._buffer_center = np.zeros(2)
         self.buildings: List[Building] = []
@@ -158,6 +159,7 @@ class BuildingManager:
             self._ways = ways
             self._have_data = True
             self._buffer_center = p
+            self._way_pts.clear()   # ENU cache keyed on download epoch
 
     def get_buildings(self, lat, lon, timeout=2.0) -> List[Building]:
         """BuildingTools::getBuildings (:14-30): (re)spawn the download
@@ -188,9 +190,19 @@ class BuildingManager:
         q = self.to_enu(lat, lon)
         in_range = []
         for way_id, refs in ways:
-            pts = np.array(
-                [self.to_enu(*nodes[r]) for r in refs if r in nodes]
-            )
+            pts = self._way_pts.get(way_id)
+            if pts is None:
+                # vectorized once per way per download epoch (the
+                # per-keyframe re-projection of every node of every way
+                # was pure host waste on the backend's critical path)
+                ll = np.asarray([nodes[r] for r in refs if r in nodes],
+                                np.float64).reshape(-1, 2)
+                pts = (
+                    mercator_from_gps(ll[:, 0], ll[:, 1], 0.0,
+                                      scale=self.scale)[:, :2]
+                    - self.origin[:2]
+                ) if len(ll) else np.zeros((0, 2))
+                self._way_pts[way_id] = pts
             if len(pts) == 0:
                 continue
             if np.min(np.linalg.norm(pts - q, axis=1)) >= self.radius:

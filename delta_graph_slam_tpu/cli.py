@@ -37,15 +37,14 @@ def _cmd_run(args):
     if frames is not None:
         # ground truth anchored at the first frame (the reference harvests
         # gt from tf relative to the run start, delta:172-195)
-        import jax.numpy as jnp
-        from .geom import se2_compose, se2_inverse
+        from .geom.host import se2_compose_np, se2_inverse_np
 
         import time as _time
 
-        g0_inv = se2_inverse(jnp.asarray(frames[0].gt_pose))
+        g0_inv = se2_inverse_np(np.asarray(frames[0].gt_pose, float))
         t_run0 = _time.perf_counter()
         for i, fr in enumerate(frames):
-            gt = np.asarray(se2_compose(g0_inv, jnp.asarray(fr.gt_pose)))
+            gt = se2_compose_np(g0_inv, np.asarray(fr.gt_pose, float))
             pipe.on_gps(fr.stamp, *fr.gps)
             t0 = _time.perf_counter()
             pipe.on_points(fr.stamp, fr.points, gt_pose=gt)

@@ -67,6 +67,19 @@ class LineScanmatcherConfig:
     max_target_lines: int = 64
     edge_capacity: int = 128
     target_edge_capacity: int = 192
+    # building polygons carry <= ~16 outline lines, so their true-corner
+    # edge count is tiny; the building side of align_local /
+    # align_overlapped uses this much smaller capacity instead of
+    # edge_capacity (the Es x Et candidate cross scales with both)
+    building_edge_capacity: int = 32
+    # phase-1 candidates are compacted (stable, valid-first) to this many
+    # slots before scoring: the raw Es x Et cross is >90% padding, and
+    # lax.map serializes one kernel per score_chunk — 96 sequential tiny
+    # kernels per align at the raw 24576 (measured align_local_batch
+    # 2.95 s/cycle in the r5 e2e). Overflow beyond the capacity drops
+    # lowest-priority (later-index) candidates only.
+    g_candidate_capacity: int = 4096
+    l_candidate_capacity: int = 1024
     score_chunk: int = 256
     n_hypotheses: int = 256
     cloud_chunk: int = 1024
@@ -88,6 +101,21 @@ def _se3_from_rt(R2, t2, dtype):
     T = T.at[..., 2, 2].set(1.0)
     T = T.at[..., 3, 3].set(1.0)
     return T
+
+
+def _compact_candidates(R, t, valid, K):
+    """Stable valid-first compaction of a candidate transform set to K
+    slots. Stability preserves the original candidate order among the
+    valid ones, so the downstream first-argmax tie-breaking matches the
+    uncompacted (and the reference's sequential greedy) order. When more
+    than K candidates are valid the overflow (later-index) ones drop —
+    K is sized to several times the realistic valid count."""
+    C = valid.shape[0]
+    if K <= 0 or K >= C:
+        return R, t, valid
+    order = jnp.argsort(jnp.where(valid, 0, 1).astype(jnp.int8),
+                        stable=True)[:K]
+    return R[order], t[order], valid[order]
 
 
 def _chunked_scores(Rs, ts, valid, src: LineSegments, trg: LineSegments,
@@ -139,6 +167,11 @@ def _make_align_fn(cfg: LineScanmatcherConfig, is_local: bool):
         )
     max_angle = jnp.pi / 9.0
     cos_max = jnp.cos(max_angle)
+    # the global path runs un-vmapped (one align per keyframe), so a 4x
+    # wider score chunk quarters the sequential lax.map kernel count at
+    # modest memory; the local path is vmapped over up-to-64 pairs and
+    # keeps the narrow chunk to bound the per-step tensor
+    chunk = cfg.score_chunk if is_local else cfg.score_chunk * 4
 
     def run(src: LineSegments, trg: LineSegments,
             src_edges: EdgeFeatures, trg_edges: EdgeFeatures,
@@ -163,9 +196,10 @@ def _make_align_fn(cfg: LineScanmatcherConfig, is_local: bool):
             valid = valid & ang_ok
         else:
             valid = valid & jnp.where(constrain_angle, ang_ok, True)
+        K = cfg.l_candidate_capacity if is_local else cfg.g_candidate_capacity
+        R, t, valid = _compact_candidates(R, t, valid, K)
         scores1 = _chunked_scores(
-            R, t, valid, src, trg, is_local, max_range, weight_fn,
-            cfg.score_chunk,
+            R, t, valid, src, trg, is_local, max_range, weight_fn, chunk,
         )
         best1 = jnp.argmax(scores1)
         s1 = scores1[best1]
@@ -206,8 +240,7 @@ def _make_align_fn(cfg: LineScanmatcherConfig, is_local: bool):
         )
         cvalid = cvalid & (jnp.linalg.norm(t2, axis=-1) <= max_distance)
         scores2 = _chunked_scores(
-            R2, t2, cvalid, src1, trg, is_local, max_range, weight_fn,
-            cfg.score_chunk,
+            R2, t2, cvalid, src1, trg, is_local, max_range, weight_fn, chunk,
         )
         best2 = jnp.argmax(scores2)
         s2 = scores2[best2]
@@ -302,16 +335,86 @@ def _make_overlap_align_fn(cfg: LineScanmatcherConfig):
     return run
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_align(cfg: LineScanmatcherConfig, is_local: bool):
+    return jax.jit(_make_align_fn(cfg, is_local))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_overlap(cfg: LineScanmatcherConfig):
+    return jax.jit(_make_overlap_align_fn(cfg))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_local_batch(cfg: LineScanmatcherConfig):
+    core = _make_align_fn(cfg, is_local=True)
+
+    def one(src, tgt, ts, tt, rng):
+        src = transform_lines(src, ts)
+        tgt = transform_lines(tgt, tt)
+        se = edge_extraction(
+            src, only_angular_edges=True, max_dist_angular_edge=0.01,
+            capacity=cfg.building_edge_capacity,
+        )
+        te = edge_extraction(
+            tgt, only_angular_edges=True, max_dist_angular_edge=7.0,
+            capacity=cfg.target_edge_capacity,
+        )
+        return core(src, tgt, se, te, False, rng)
+
+    return jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, None)))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_overlap_batch(cfg: LineScanmatcherConfig):
+    core = _make_overlap_align_fn(cfg)
+
+    def one(la, lb, pa, pb):
+        from ..geom.se2 import se2_compose, se2_inverse
+        from ..geom.se3 import transform_2d_to_3d
+
+        P = transform_2d_to_3d(pa)
+        R = P[:2, :2]
+        t = P[:2, 3]
+        # into A's frame (the reference aligns in building A's
+        # local frame, line_based_scanmatcher.cpp:29-107)
+        def to_local(lines):
+            return lines._replace(
+                a=(lines.a - t) @ R, b=(lines.b - t) @ R
+            )
+
+        la_l = to_local(la)
+        lb_l = to_local(lb)
+        rel = se2_compose(se2_inverse(pa), pb)
+        # both sides are building outlines: small edge caps
+        ea = edge_extraction(la_l, capacity=cfg.building_edge_capacity)
+        eb = edge_extraction(lb_l, capacity=cfg.building_edge_capacity)
+        T_local, _aligned, found = core(la_l, lb_l, ea, eb, rel[:2])
+        # back to map frame: T_map = P T_local P^-1
+        Pinv = jnp.zeros((4, 4), P.dtype)
+        Pinv = Pinv.at[:2, :2].set(R.T)
+        Pinv = Pinv.at[:2, 3].set(-(R.T @ t))
+        Pinv = Pinv.at[2, 2].set(1.0).at[3, 3].set(1.0)
+        return P @ T_local @ Pinv, found
+
+    return jax.jit(jax.vmap(one))
+
+
 class LineBasedScanmatcher:
-    """Facade with the reference's public API (hpp:126-130)."""
+    """Facade with the reference's public API (hpp:126-130).
+
+    All jitted programs are process-wide caches keyed on the (frozen)
+    config — constructing a new scanmatcher re-uses the already-traced
+    and compiled programs instead of re-tracing per instance."""
 
     def __init__(self, cfg: LineScanmatcherConfig = LineScanmatcherConfig()):
         self.cfg = cfg
-        self._global_fn = jax.jit(
-            _make_align_fn(cfg, is_local=False), static_argnums=()
-        )
-        self._local_fn = jax.jit(_make_align_fn(cfg, is_local=True))
-        self._overlap_fn = jax.jit(_make_overlap_align_fn(cfg))
+        self._global_fn = _jitted_align(cfg, False)
+        self._local_fn = _jitted_align(cfg, True)
+        self._overlap_fn = _jitted_overlap(cfg)
         self._key = jax.random.PRNGKey(7)
 
     # ---- feature extraction -------------------------------------------
@@ -355,9 +458,12 @@ class LineBasedScanmatcher:
 
     def align_local(self, src_lines: LineSegments, target_lines: LineSegments,
                     max_range=np.inf) -> BestFitAlignment:
+        # src is a building outline in the delta flow (<= ~16 lines whose
+        # angular edges are true polygon corners): the small capacity
+        # keeps the Es x Et candidate cross proportional to reality
         se = edge_extraction(
             src_lines, only_angular_edges=True, max_dist_angular_edge=0.01,
-            capacity=self.cfg.edge_capacity,
+            capacity=self.cfg.building_edge_capacity,
         )
         te = edge_extraction(
             target_lines, only_angular_edges=True, max_dist_angular_edge=7.0,
@@ -380,28 +486,7 @@ class LineBasedScanmatcher:
         in-program, and edge extraction + alignment vmap across pairs.
         Padded pairs (mask all-False lines) return identity transforms.
         """
-        if not hasattr(self, "_local_batch_fn"):
-            cfg = self.cfg
-            core = _make_align_fn(cfg, is_local=True)
-
-            def one(src, tgt, ts, tt, rng):
-                src = transform_lines(src, ts)
-                tgt = transform_lines(tgt, tt)
-                se = edge_extraction(
-                    src, only_angular_edges=True,
-                    max_dist_angular_edge=0.01, capacity=cfg.edge_capacity,
-                )
-                te = edge_extraction(
-                    tgt, only_angular_edges=True,
-                    max_dist_angular_edge=7.0,
-                    capacity=cfg.target_edge_capacity,
-                )
-                return core(src, tgt, se, te, False, rng)
-
-            self._local_batch_fn = jax.jit(
-                jax.vmap(one, in_axes=(0, 0, 0, 0, None))
-            )
-        return self._local_batch_fn(
+        return _jitted_local_batch(self.cfg)(
             src_stack, tgt_stack, jnp.asarray(Ts, src_stack.a.dtype),
             jnp.asarray(Tt, src_stack.a.dtype), float(max_range),
         )
@@ -419,43 +504,8 @@ class LineBasedScanmatcher:
         (T_map (B,4,4), found (B,) bool). Padded pairs (mask all-False)
         return identity / False.
         """
-        import jax.numpy as jnp
-
-        if not hasattr(self, "_overlap_batch_fn"):
-            cfg = self.cfg
-            core = _make_overlap_align_fn(cfg)
-
-            def one(la, lb, pa, pb):
-                from ..geom.se2 import se2_compose, se2_inverse
-                from ..geom.se3 import transform_2d_to_3d
-
-                P = transform_2d_to_3d(pa)
-                R = P[:2, :2]
-                t = P[:2, 3]
-                # into A's frame (the reference aligns in building A's
-                # local frame, line_based_scanmatcher.cpp:29-107)
-                def to_local(lines):
-                    return lines._replace(
-                        a=(lines.a - t) @ R, b=(lines.b - t) @ R
-                    )
-
-                la_l = to_local(la)
-                lb_l = to_local(lb)
-                rel = se2_compose(se2_inverse(pa), pb)
-                ea = edge_extraction(la_l, capacity=cfg.edge_capacity)
-                eb = edge_extraction(lb_l,
-                                     capacity=cfg.target_edge_capacity)
-                T_local, _aligned, found = core(la_l, lb_l, ea, eb, rel[:2])
-                # back to map frame: T_map = P T_local P^-1
-                Pinv = jnp.zeros((4, 4), P.dtype)
-                Pinv = Pinv.at[:2, :2].set(R.T)
-                Pinv = Pinv.at[:2, 3].set(-(R.T @ t))
-                Pinv = Pinv.at[2, 2].set(1.0).at[3, 3].set(1.0)
-                return P @ T_local @ Pinv, found
-
-            self._overlap_batch_fn = jax.jit(jax.vmap(one))
         dtype = la_stack.a.dtype
-        return self._overlap_batch_fn(
+        return _jitted_overlap_batch(self.cfg)(
             la_stack, lb_stack, jnp.asarray(poses_a, dtype),
             jnp.asarray(poses_b, dtype),
         )
@@ -486,8 +536,8 @@ class LineBasedScanmatcher:
         lb = to_local(lines_b)
         rel = np.asarray(se2_compose(se2_inverse(jnp.asarray(pa)), jnp.asarray(pb)))
         center_b = jnp.asarray(rel[:2], lines_a.a.dtype)
-        ea = edge_extraction(la, capacity=self.cfg.edge_capacity)
-        eb = edge_extraction(lb, capacity=self.cfg.target_edge_capacity)
+        ea = edge_extraction(la, capacity=self.cfg.building_edge_capacity)
+        eb = edge_extraction(lb, capacity=self.cfg.building_edge_capacity)
         T_local, aligned, found = self._overlap_fn(la, lb, ea, eb, center_b)
         # back to map frame: T_map = P * T_local * P^-1
         P = np.asarray(transform_2d_to_3d(jnp.asarray(pa)))

@@ -335,10 +335,12 @@ class DeltaBackend:
         result = None
         if buildings:
             with self.timer.stage("align_global"):
-                # building lines into the sensor frame (:274-276)
+                # building lines into the sensor frame (:274-276) —
+                # concatenated from the host-resident corner polygons
+                # (pulling each building's device line arrays cost ~3
+                # tunnel round-trips per building per keyframe)
                 blines = _concat_lines(
-                    [b.lines for b in buildings],
-                    capacity=self.cfg.scanmatcher.max_target_lines,
+                    buildings, capacity=self.cfg.scanmatcher.max_target_lines,
                 )
                 inv3d = transform_2d_to_3d_np(se2_inverse_np(map_pose))
                 blines = transform_lines(blines, inv3d)
@@ -381,6 +383,7 @@ class DeltaBackend:
             batch = self.keyframe_queue[:n]
             del self.keyframe_queue[:n]
         odom2map = self._get_odom2map()
+        pending = []   # (kf, prev, rel2d) awaiting the batched info calc
         for i in range(n):
             kf = batch[i]
             self.new_keyframes.append(kf)
@@ -397,16 +400,19 @@ class DeltaBackend:
             prev = self.keyframes[-1] if i == 0 else batch[i - 1]
             # reversed measurement convention (:570-571)
             rel2d = se2_compose_np(se2_inverse_np(kf.odom2d), prev.odom2d)
-            rel3d = np.linalg.inv(kf.odom) @ prev.odom
+            pending.append((kf, prev, rel2d))
+        if pending:
             with self.timer.stage("information_matrix"):
-                info = self.inf_calculator.calc_information_matrix(
-                    kf.cloud, prev.cloud, rel3d
+                infos = self.inf_calculator.calc_information_matrices([
+                    (kf.cloud, prev.cloud, np.linalg.inv(kf.odom) @ prev.odom)
+                    for kf, prev, _ in pending
+                ])
+            for (kf, prev, rel2d), info in zip(pending, infos):
+                self.graph.add_se2_edge(
+                    kf.node_id, prev.node_id, rel2d, info, level=0,
+                    kernel=self.cfg.odometry_edge_robust_kernel,
+                    delta=self.cfg.odometry_edge_robust_kernel_size,
                 )
-            self.graph.add_se2_edge(
-                kf.node_id, prev.node_id, rel2d, info, level=0,
-                kernel=self.cfg.odometry_edge_robust_kernel,
-                delta=self.cfg.odometry_edge_robust_kernel_size,
-            )
         return True
 
     def flush_gps_queue(self) -> bool:
@@ -982,15 +988,19 @@ class DeltaBackend:
         }
 
 
-def _concat_lines(line_list, capacity):
-    """Concatenate several LineSegments into one masked batch."""
+def _concat_lines(buildings, capacity):
+    """Concatenate the buildings' raw outline segments into one masked
+    batch, from the host-resident corner polygons (no device fetches:
+    b.lines was built from exactly corners[:-1] -> corners[1:],
+    buildings/manager.py _new_building)."""
     from ..lines import make_lines
 
     a_all, b_all = [], []
-    for ls in line_list:
-        m = np.asarray(ls.mask)
-        a_all.append(np.asarray(ls.a)[m])
-        b_all.append(np.asarray(ls.b)[m])
+    for bd in buildings:
+        pts = np.asarray(bd.corners, np.float32)
+        if len(pts) >= 2:
+            a_all.append(pts[:-1])
+            b_all.append(pts[1:])
     if not a_all:
         return make_lines(np.zeros((0, 2)), np.zeros((0, 2)), capacity=capacity)
     a = np.concatenate(a_all)[:capacity]

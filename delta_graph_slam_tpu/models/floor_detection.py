@@ -101,10 +101,20 @@ def _build_fn(cfg: FloorDetectionConfig):
     return run
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_fn(cfg):
+    """Process-wide program cache keyed on the frozen config
+    (new stage instances reuse the traced+compiled program)."""
+    return jax.jit(_build_fn(cfg))
+
+
 class FloorDetectionStage:
     def __init__(self, cfg: FloorDetectionConfig = FloorDetectionConfig()):
         self.cfg = cfg
-        self._fn = jax.jit(_build_fn(cfg))
+        self._fn = _jitted_fn(cfg)
         self._key = jax.random.PRNGKey(42)
 
     def detect(self, cloud) -> Optional[np.ndarray]:

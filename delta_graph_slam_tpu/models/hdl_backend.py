@@ -191,6 +191,7 @@ class HdlBackend:
                     self.cfg.max_keyframes_per_update)
             batch = self.keyframe_queue[:n]
             del self.keyframe_queue[:n]
+        pending = []
         for i in range(n):
             kf = batch[i]
             self.new_keyframes.append(kf)
@@ -206,14 +207,18 @@ class HdlBackend:
                 continue
             prev = self.keyframes[-1] if i == 0 else batch[i - 1]
             rel = np.linalg.inv(prev.odom) @ kf.odom
-            info = self.inf_calculator.calc_information_matrix_se3(
-                prev.cloud, kf.cloud, np.linalg.inv(rel)
-            )
-            self.graph.add_se3_edge(
-                prev.node_id, kf.node_id, rel, info,
-                kernel=self.cfg.odometry_edge_robust_kernel,
-                delta=self.cfg.odometry_edge_robust_kernel_size,
-            )
+            pending.append((kf, prev, rel))
+        if pending:
+            infos = self.inf_calculator.calc_information_matrices_se3([
+                (prev.cloud, kf.cloud, np.linalg.inv(rel))
+                for kf, prev, rel in pending
+            ])
+            for (kf, prev, rel), info in zip(pending, infos):
+                self.graph.add_se3_edge(
+                    prev.node_id, kf.node_id, rel, info,
+                    kernel=self.cfg.odometry_edge_robust_kernel,
+                    delta=self.cfg.odometry_edge_robust_kernel_size,
+                )
         return True
 
     def flush_floor_queue(self) -> bool:

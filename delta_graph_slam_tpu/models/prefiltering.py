@@ -137,6 +137,16 @@ def _build_fn(cfg: PrefilteringConfig):
     return run
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_fn(cfg):
+    """Process-wide program cache keyed on the frozen config
+    (new stage instances reuse the traced+compiled program)."""
+    return jax.jit(_build_fn(cfg))
+
+
 class PrefilteringStage:
     """Host facade. ``process(points, ...)`` -> PrefilterOutput.
 
@@ -147,7 +157,7 @@ class PrefilteringStage:
 
     def __init__(self, cfg: PrefilteringConfig = PrefilteringConfig()):
         self.cfg = cfg
-        self._fn = jax.jit(_build_fn(cfg))
+        self._fn = _jitted_fn(cfg)
 
     def process(
         self,

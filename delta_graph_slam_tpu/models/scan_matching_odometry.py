@@ -63,26 +63,34 @@ class OdometryFrame(NamedTuple):
     prediction_error: np.ndarray = None  # (4,4) T^-1 @ msf_delta
 
 
-def _make_status_step(reg, cfg: "OdometryConfig"):
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _make_status_step(reg_cfg, capacity_voxels, max_dist):
     """Fused per-scan program: source-model build + GN align + status
     inlier fraction, returning ONE flat f32 vector so the host pays a
     single device round-trip per frame (the tunneled TPU costs ~30 ms per
     fetch; the reference computes its ScanMatchingStatus on the host for
     free, scan_matching_odometry_nodelet.cpp:309-346).
 
+    Process-wide cache keyed on the frozen configs: new odometry stages
+    reuse the traced+compiled program.
+
     Layout: [T.ravel() (16), converged, iterations, num_correspondences,
     mean_error, fitness, inlier_fraction] -> (22,).
     """
-    from ..register.engine import _make_align_fn
+    from ..register.engine import (
+        _build_source_model, _make_align_fn,
+    )
     from ..ops.voxel_knn import voxel_nn
 
-    align_fn = _make_align_fn(reg.cfg)
-    max_dist = cfg.status_max_correspondence_dist
-    use_voxel = reg.cfg.nn_method == "voxel"
+    align_fn = _make_align_fn(reg_cfg)
+    use_voxel = reg_cfg.nn_method == "voxel"
     # candidate-cell reach covering the status gate for ANY configured
     # voxel resolution (radius gate max_dist needs ceil(max_dist/res)
     # cells in each direction — 27 cells only suffice when res >= gate)
-    rad = max(1, int(np.ceil(max_dist / reg.cfg.nn_voxel_resolution)))
+    rad = max(1, int(np.ceil(max_dist / reg_cfg.nn_voxel_resolution)))
     rng = range(-rad, rad + 1)
     offs = np.asarray(
         [[i, j, l] for i in rng for j in rng for l in rng], np.int32
@@ -90,19 +98,19 @@ def _make_status_step(reg, cfg: "OdometryConfig"):
     hi = jax.lax.Precision.HIGHEST
 
     def step(cloud: MaskedCloud, tgt, guess):
-        src = reg._build_source_impl(cloud)
+        src = _build_source_model(reg_cfg, capacity_voxels, cloud)
         res = align_fn(src, tgt, guess)
         T = res.transformation
         moved = jnp.matmul(cloud.points, T[:3, :3].T, precision=hi) + T[:3, 3]
         n = jnp.maximum(jnp.sum(cloud.mask), 1)
         if use_voxel:
             _, _, ok = voxel_nn(tgt.vh, moved, cloud.mask, offs,
-                                window=reg.cfg.nn_voxel_window,
+                                window=reg_cfg.nn_voxel_window,
                                 max_d2=max_dist * max_dist)
             frac = jnp.sum(ok) / n
         else:
             d2, _ = nn_1(moved, cloud.mask, tgt.points, tgt.mask,
-                         chunk=reg.cfg.chunk)
+                         chunk=reg_cfg.chunk)
             frac = jnp.sum(cloud.mask & (d2 < max_dist * max_dist)) / n
         f32 = jnp.float32
         return jnp.concatenate([
@@ -122,7 +130,10 @@ class ScanMatchingOdometry:
     def __init__(self, cfg: OdometryConfig = OdometryConfig()):
         self.cfg = cfg
         self.registration: Registration = make_registration(cfg.registration)
-        self._status_step = _make_status_step(self.registration, cfg)
+        self._status_step = _make_status_step(
+            self.registration.cfg, self.registration.capacity_voxels,
+            cfg.status_max_correspondence_dist,
+        )
         self.keyframe: Optional[MaskedCloud] = None
         self._keyframe_target = None
         self.keyframe_pose = np.eye(4)

@@ -24,8 +24,7 @@ import numpy as np
 from ..ops.knn import nn_1
 
 
-@jax.jit
-def _fitness(points1, mask1, points2, mask2, T, max_range):
+def _fitness_core(points1, mask1, points2, mask2, T, max_range):
     T = jnp.asarray(T, points2.dtype)
     moved = points2 @ T[:3, :3].T + T[:3, 3]
     d2, _ = nn_1(moved, mask2, points1, mask1)
@@ -36,6 +35,26 @@ def _fitness(points1, mask1, points2, mask2, T, max_range):
     nr = jnp.sum(ok)
     s = jnp.sum(jnp.where(ok, d2, 0.0))
     return jnp.where(nr > 0, s / jnp.maximum(nr, 1), jnp.inf), nr
+
+
+_fitness = jax.jit(_fitness_core)
+
+
+def _fitness_many(items):
+    """Fitness for many (cloud1, cloud2, T) pairs with ONE host fetch.
+
+    Dispatches the already-compiled single-pair program asynchronously
+    per pair and syncs once on the stacked scalars — the per-pair
+    float() fetch (a ~30 ms tunnel round-trip each) was the real cost of
+    a flush cycle, not the compute. (A vmapped batch variant was tried
+    and rejected: it multiplies the nn_1 chunk buffer by the batch axis
+    and compiles one giant program per pow2 bucket.)"""
+    outs = []
+    for c1, c2, T in items:
+        f, _ = _fitness(c1.points, c1.mask, c2.points, c2.mask,
+                        np.asarray(T), float("inf"))
+        outs.append(f)
+    return np.asarray(jnp.stack(outs))
 
 
 def fitness_score(cloud1, cloud2, relpose, max_range=float("inf")):
@@ -99,6 +118,21 @@ class InformationMatrixCalculator:
         f = fitness_score(cloud1, cloud2, relpose)
         return self._weighted_info(f)
 
+    def calc_information_matrices(self, items):
+        """Batched calc_information_matrix: items = [(cloud1, cloud2,
+        relpose 4x4), ...] -> list of (3,3) infos. All pair fitnesses are
+        dispatched asynchronously and fetched once (_fitness_many)."""
+        if not items:
+            return []
+        if self.use_const_inf_matrix:
+            one = np.diag([
+                1.0 / self.const_stddev_x, 1.0 / self.const_stddev_x,
+                1.0 / self.const_stddev_q,
+            ])
+            return [one.copy() for _ in items]
+        fs = _fitness_many(items)
+        return [self._weighted_info(float(f)) for f in fs]
+
     def calc_information_matrix_se3(self, cloud1, cloud2, relpose):
         """6-DoF variant as used with SE3 edges upstream
         (information_matrix_calculator.cpp:53-75): one translational
@@ -114,6 +148,26 @@ class InformationMatrixCalculator:
         w_q = self.weight(self.var_gain_a, self.fitness_score_thresh,
                           self.min_stddev_q**2, self.max_stddev_q**2, f)
         return np.diag([1.0 / w_x] * 3 + [1.0 / w_q] * 3)
+
+    def calc_information_matrices_se3(self, items):
+        """Batched calc_information_matrix_se3 (one dispatch + fetch)."""
+        if not items:
+            return []
+        if self.use_const_inf_matrix:
+            one = np.diag([1.0 / self.const_stddev_x] * 3
+                          + [1.0 / self.const_stddev_q] * 3)
+            return [one.copy() for _ in items]
+        fs = _fitness_many(items)
+        out = []
+        for f in fs:
+            w_x = self.weight(self.var_gain_a, self.fitness_score_thresh,
+                              self.min_stddev_x**2, self.max_stddev_x**2,
+                              float(f))
+            w_q = self.weight(self.var_gain_a, self.fitness_score_thresh,
+                              self.min_stddev_q**2, self.max_stddev_q**2,
+                              float(f))
+            out.append(np.diag([1.0 / w_x] * 3 + [1.0 / w_q] * 3))
+        return out
 
     def calc_information_matrix_buildings_global(self, fitness):
         if self.use_const_inf_matrix:

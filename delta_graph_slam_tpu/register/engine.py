@@ -23,6 +23,7 @@ Heads:
 """
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -281,6 +282,106 @@ def _make_align_fn(cfg: RegistrationConfig):
     return align
 
 
+def _build_target_model(cfg: RegistrationConfig, capacity_voxels: int,
+                        cloud: MaskedCloud) -> TargetModel:
+    head = cfg.head
+    covs = vh = voxel_covs = voxel_inv = None
+    if head in ("icp", "gicp") and cfg.nn_method == "voxel":
+        # NN hash; points/covs live in the hash's cell-sorted order
+        vh = build_voxel_hash(
+            cloud, cfg.nn_voxel_resolution, capacity_voxels,
+            dense_index=True, with_stats=False,
+        )
+        if head == "gicp":
+            if cfg.cov_method == "dense":
+                covs, _ = dense_covariances(
+                    vh.sorted_points, vh.sorted_valid,
+                    radius=cfg.cov_dense_radius, mode="plane",
+                )
+            else:
+                covs, _ = voxel_knn_covariances(
+                    vh, k=cfg.correspondence_randomness,
+                    offsets=_neighbor_offsets(cfg.cov_voxel_cells),
+                    window=cfg.cov_voxel_window, mode="plane",
+                )
+        return TargetModel(
+            vh.sorted_points, vh.sorted_valid, covs, vh, None, None
+        )
+    if head == "gicp":
+        covs, _ = knn_covariances(
+            cloud.points, cloud.mask, k=cfg.correspondence_randomness,
+            mode="plane", chunk=cfg.chunk,
+        )
+    if head in ("vgicp", "ndt"):
+        vh = build_voxel_hash(
+            cloud, cfg.resolution, capacity_voxels, dense_index=True
+        )
+        mode = "plane" if head == "vgicp" else "floor"
+        voxel_covs = regularize_covariances(vh.covs, mode=mode)
+        # voxels with <5 points have unreliable covariances (PCL NDT gate)
+        bad = vh.counts < 5
+        voxel_covs = jnp.where(
+            bad[:, None, None], jnp.eye(3, dtype=voxel_covs.dtype), voxel_covs
+        )
+        if head == "ndt":
+            voxel_inv = inv3x3(voxel_covs)
+            voxel_inv = jnp.where(
+                bad[:, None, None], jnp.zeros_like(voxel_inv), voxel_inv
+            )
+    return TargetModel(cloud.points, cloud.mask, covs, vh, voxel_covs, voxel_inv)
+
+
+def _build_source_model(cfg: RegistrationConfig, capacity_voxels: int,
+                        cloud: MaskedCloud) -> SourceModel:
+    covs = None
+    if cfg.head in ("gicp", "vgicp"):
+        if cfg.cov_method == "dense":
+            # exact radius covariances, no hash needed for the source
+            covs, _ = dense_covariances(
+                cloud.points, cloud.mask,
+                radius=cfg.cov_dense_radius, mode="plane",
+            )
+            return SourceModel(cloud.points, cloud.mask, covs)
+        if cfg.nn_method == "voxel":
+            # source order is irrelevant to the cost: adopt the hash's
+            # sorted order so covariances align with the points
+            vh = build_voxel_hash(
+                cloud, cfg.nn_voxel_resolution, capacity_voxels,
+                dense_index=True, with_stats=False,
+            )
+            covs, _ = voxel_knn_covariances(
+                vh, k=cfg.correspondence_randomness,
+                offsets=_neighbor_offsets(cfg.cov_voxel_cells),
+                window=cfg.cov_voxel_window, mode="plane",
+            )
+            return SourceModel(vh.sorted_points, vh.sorted_valid, covs)
+        covs, _ = knn_covariances(
+            cloud.points, cloud.mask, k=cfg.correspondence_randomness,
+            mode="plane", chunk=cfg.chunk,
+        )
+    return SourceModel(cloud.points, cloud.mask, covs)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_bundle(cfg: RegistrationConfig, capacity_voxels: int):
+    """Process-wide jitted programs per (config, capacity).
+
+    Keyed module-level so every Registration instance with the same
+    config shares ONE traced+compiled program set — a fresh pipeline
+    (new Registration objects) used to re-trace all of them, which both
+    polluted steady-state benchmarks and cost seconds of host time per
+    pipeline construction in multi-session deployments."""
+    align_fn = _make_align_fn(cfg)
+    return (
+        jax.jit(align_fn),
+        jax.jit(functools.partial(_build_target_model, cfg, capacity_voxels)),
+        jax.jit(functools.partial(_build_source_model, cfg, capacity_voxels)),
+        jax.jit(lambda cloud, tgt, guess: align_fn(
+            _build_source_model(cfg, capacity_voxels, cloud), tgt, guess
+        )),
+    )
+
+
 class Registration:
     """Stateful facade mirroring pcl::Registration usage:
     set_target(cloud) once per keyframe, align(source, guess) per scan.
@@ -294,19 +395,9 @@ class Registration:
             cfg = dataclasses.replace(cfg, cov_method=method)
         self.cfg = cfg
         self.capacity_voxels = capacity_voxels
-        self._align = jax.jit(_make_align_fn(cfg))
         self._target: Optional[TargetModel] = None
-        # jit the model builders: eagerly dispatched hash/covariance builds
-        # dominate per-scan latency on remote devices
-        self._build_target_jit = jax.jit(self._build_target_impl)
-        self._build_source_jit = jax.jit(self._build_source_impl)
-        # fused per-scan path: source model build + align in ONE dispatch
-        self._align_fn = _make_align_fn(cfg)
-        self._align_cloud_jit = jax.jit(
-            lambda cloud, tgt, guess: self._align_fn(
-                self._build_source_impl(cloud), tgt, guess
-            )
-        )
+        (self._align, self._build_target_jit, self._build_source_jit,
+         self._align_cloud_jit) = _jitted_bundle(cfg, capacity_voxels)
 
     def build_target(self, cloud: MaskedCloud) -> TargetModel:
         return self._build_target_jit(cloud)
@@ -315,82 +406,10 @@ class Registration:
         return self._build_source_jit(cloud)
 
     def _build_target_impl(self, cloud: MaskedCloud) -> TargetModel:
-        cfg = self.cfg
-        head = cfg.head
-        covs = vh = voxel_covs = voxel_inv = None
-        if head in ("icp", "gicp") and cfg.nn_method == "voxel":
-            # NN hash; points/covs live in the hash's cell-sorted order
-            vh = build_voxel_hash(
-                cloud, cfg.nn_voxel_resolution, self.capacity_voxels,
-                dense_index=True, with_stats=False,
-            )
-            if head == "gicp":
-                if cfg.cov_method == "dense":
-                    covs, _ = dense_covariances(
-                        vh.sorted_points, vh.sorted_valid,
-                        radius=cfg.cov_dense_radius, mode="plane",
-                    )
-                else:
-                    covs, _ = voxel_knn_covariances(
-                        vh, k=cfg.correspondence_randomness,
-                        offsets=_neighbor_offsets(cfg.cov_voxel_cells),
-                        window=cfg.cov_voxel_window, mode="plane",
-                    )
-            return TargetModel(
-                vh.sorted_points, vh.sorted_valid, covs, vh, None, None
-            )
-        if head == "gicp":
-            covs, _ = knn_covariances(
-                cloud.points, cloud.mask, k=cfg.correspondence_randomness,
-                mode="plane", chunk=cfg.chunk,
-            )
-        if head in ("vgicp", "ndt"):
-            vh = build_voxel_hash(
-                cloud, cfg.resolution, self.capacity_voxels, dense_index=True
-            )
-            mode = "plane" if head == "vgicp" else "floor"
-            voxel_covs = regularize_covariances(vh.covs, mode=mode)
-            # voxels with <5 points have unreliable covariances (PCL NDT gate)
-            bad = vh.counts < 5
-            voxel_covs = jnp.where(
-                bad[:, None, None], jnp.eye(3, dtype=voxel_covs.dtype), voxel_covs
-            )
-            if head == "ndt":
-                voxel_inv = inv3x3(voxel_covs)
-                voxel_inv = jnp.where(
-                    bad[:, None, None], jnp.zeros_like(voxel_inv), voxel_inv
-                )
-        return TargetModel(cloud.points, cloud.mask, covs, vh, voxel_covs, voxel_inv)
+        return _build_target_model(self.cfg, self.capacity_voxels, cloud)
 
     def _build_source_impl(self, cloud: MaskedCloud) -> SourceModel:
-        cfg = self.cfg
-        covs = None
-        if cfg.head in ("gicp", "vgicp"):
-            if cfg.cov_method == "dense":
-                # exact radius covariances, no hash needed for the source
-                covs, _ = dense_covariances(
-                    cloud.points, cloud.mask,
-                    radius=cfg.cov_dense_radius, mode="plane",
-                )
-                return SourceModel(cloud.points, cloud.mask, covs)
-            if cfg.nn_method == "voxel":
-                # source order is irrelevant to the cost: adopt the hash's
-                # sorted order so covariances align with the points
-                vh = build_voxel_hash(
-                    cloud, cfg.nn_voxel_resolution, self.capacity_voxels,
-                    dense_index=True, with_stats=False,
-                )
-                covs, _ = voxel_knn_covariances(
-                    vh, k=cfg.correspondence_randomness,
-                    offsets=_neighbor_offsets(cfg.cov_voxel_cells),
-                    window=cfg.cov_voxel_window, mode="plane",
-                )
-                return SourceModel(vh.sorted_points, vh.sorted_valid, covs)
-            covs, _ = knn_covariances(
-                cloud.points, cloud.mask, k=cfg.correspondence_randomness,
-                mode="plane", chunk=cfg.chunk,
-            )
-        return SourceModel(cloud.points, cloud.mask, covs)
+        return _build_source_model(self.cfg, self.capacity_voxels, cloud)
 
     def set_target(self, cloud: MaskedCloud):
         self._target = self.build_target(cloud)

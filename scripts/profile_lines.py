@@ -61,7 +61,7 @@ def main():
     buildings = mgr.get_buildings(lat0, lon0)
     print(f"buildings: {len(buildings)}", flush=True)
 
-    blines = _concat_lines([b.lines for b in buildings],
+    blines = _concat_lines(buildings,
                            capacity=cfg.delta.scanmatcher.max_target_lines)
 
     stages = {}
