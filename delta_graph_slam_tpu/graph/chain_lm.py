@@ -57,15 +57,28 @@ def _P(a, b):
     return df_mul(dfm(a), dfm(b))
 
 
-def _chain_pass(graph, state: DF, level, nc):
-    """Fused residual/chi2/gradient/Hessian pass over the chain rows.
+class _ChainResid(NamedTuple):
+    """Chain-row residual intermediates: everything the (expensive)
+    Hessian/gradient assembly needs, produced by the cheap residual
+    pass so the assembly can be skipped on rejected LM steps."""
 
-    Row k holds the odometry edge between vertices {k, k+1} in either
-    orientation (to_arrays(chain_first=True)); inactive slots are
-    zero-weighted no-ops. Returns per-slot (Hii, Hjj, Hij) df blocks in
-    the STORED (i, j) orientation, f32 gradient halves (bi, bj), the
-    slot reversal mask and the chi2 contribution.
-    """
+    ex: jnp.ndarray
+    ey: jnp.ndarray
+    eth: jnp.ndarray
+    c: jnp.ndarray
+    s: jnp.ndarray
+    gx: jnp.ndarray
+    gy: jnp.ndarray
+    wgt: jnp.ndarray
+    rev: jnp.ndarray
+    chi2: jnp.ndarray
+
+
+def _chain_resid(graph, state: DF, level, nc) -> _ChainResid:
+    """Residual/chi2/robust-weight pass over the chain rows (cheap: no
+    df arithmetic). Row k holds the odometry edge between vertices
+    {k, k+1} in either orientation (to_arrays(chain_first=True));
+    inactive slots are zero-weighted no-ops."""
     e = graph.edges
     hi, lo = state
     ph_k, pl_k = hi[:nc], lo[:nc]
@@ -110,6 +123,22 @@ def _chain_pass(graph, state: DF, level, nc):
     rho = robust_rho(e2, kern, delta)
     chi2 = jnp.sum(jnp.where(act, rho, 0.0))
     wgt = jnp.where(act, robust_weight(e2, kern, delta), 0.0)
+    return _ChainResid(ex, ey, eth, c, s, gx, gy, wgt, rev, chi2)
+
+
+def _chain_pass(graph, resid: _ChainResid, nc):
+    """Hessian/gradient assembly over the chain rows from the residual
+    intermediates (the expensive double-float part). Returns per-slot
+    (Hii, Hjj, Hij) df blocks in the STORED (i, j) orientation, f32
+    gradient halves (bi, bj), the slot reversal mask and chi2."""
+    e = graph.edges
+    ex, ey, eth = resid.ex, resid.ey, resid.eth
+    c, s = resid.c, resid.s
+    gx, gy = resid.gx, resid.gy
+    wgt, rev, chi2 = resid.wgt, resid.rev, resid.chi2
+    info = e.info[:nc]
+    i00, i01, i02 = info[:, 0, 0], info[:, 0, 1], info[:, 0, 2]
+    i11, i12, i22 = info[:, 1, 1], info[:, 1, 2], info[:, 2, 2]
 
     w11, w12, w13 = wgt * i00, wgt * i01, wgt * i02
     w22, w23, w33 = wgt * i11, wgt * i12, wgt * i22
@@ -213,14 +242,23 @@ def _linearize_tail(graph, state: DF, level, nc):
     return concat_sys(parts), chi2
 
 
-def _linearize_full(graph, state, level, nc, N, free_v):
-    """One fused linearization -> _Bundle (lambda-free).
+def _residual_pass(graph, state, level, nc):
+    """Cheap trial evaluation: chain residual intermediates + full tail
+    linearization (the tail is a few dozen slots) + total chi2. Enough
+    to decide an LM accept/reject without paying the df Hessian
+    assembly; on accept the intermediates feed _assemble_bundle."""
+    cr = _chain_resid(graph, state, level, nc)
+    tail, chi2_t = _linearize_tail(graph, state, level, nc)
+    return cr, tail, cr.chi2 + chi2_t
+
+
+def _assemble_bundle(graph, cr, tail, chi2_total, nc, N, free_v, dtype):
+    """Hessian/gradient assembly from a _residual_pass result (the
+    expensive df part — run only on accepted LM steps).
 
     free_v: (N,) bool — vertices free at this level (same activity-aware
     mask the generic chain_solve._classify uses via the free matrix)."""
-    Hii, Hjj, Hij, bi, bj, rev, chi2_c = _chain_pass(graph, state, level, nc)
-    tail, chi2_t = _linearize_tail(graph, state, level, nc)
-    dtype = state.hi.dtype
+    Hii, Hjj, Hij, bi, bj, rev, _ = _chain_pass(graph, cr, nc)
     D = 3
 
     rv = rev[:, None, None]
@@ -287,7 +325,14 @@ def _linearize_full(graph, state, level, nc, N, free_v):
     b = b + jax.ops.segment_sum(bmv(JiT, Wr), tail.i, num_segments=N)
     b = b + jax.ops.segment_sum(bmv(JjT, Wr), tail.j, num_segments=N)
 
-    return _Bundle(A0, B0, b, chi2_c + chi2_t, tail), t_off
+    return _Bundle(A0, B0, b, chi2_total, tail), t_off
+
+
+def _linearize_full(graph, state, level, nc, N, free_v):
+    """One fused linearization -> _Bundle (lambda-free)."""
+    cr, tail, chi2 = _residual_pass(graph, state, level, nc)
+    return _assemble_bundle(graph, cr, tail, chi2, nc, N, free_v,
+                            state.hi.dtype)
 
 
 def lm_se2_chain(graph, level, free, cfg: SolverConfig, n_edges_total):
@@ -377,8 +422,12 @@ def lm_se2_chain(graph, level, free, cfg: SolverConfig, n_edges_total):
         state, bundle, lam, nu, chi2, it, _ = carry
         dx = solve(bundle, lam)
         trial = apply_fn(state, dx)
-        bundle_t, _ = _linearize_full(graph, trial, level, nc, N, free_v)
-        chi2_t = bundle_t.chi2
+        # cheap trial evaluation: residuals + tail only. The df Hessian
+        # assembly (the expensive half of a linearization) runs inside
+        # the cond below ONLY when the step is accepted — a rejected
+        # Levenberg trial re-solves with bigger lambda and never needs
+        # the trial's Hessian (g2o likewise only relinearizes on accept).
+        cr_t, tail_t, chi2_t = _residual_pass(graph, trial, level, nc)
         denom = jnp.sum(dx * (lam * dx - bundle.b))
         rho = (chi2 - chi2_t) / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
         finite = (jnp.all(jnp.isfinite(trial.hi))
@@ -389,7 +438,12 @@ def lm_se2_chain(graph, level, free, cfg: SolverConfig, n_edges_total):
             return jnp.where(accept, t, s)
 
         state_n = jax.tree_util.tree_map(pick, trial, state)
-        bundle_n = jax.tree_util.tree_map(pick, bundle_t, bundle)
+        bundle_n = jax.lax.cond(
+            accept,
+            lambda: _assemble_bundle(graph, cr_t, tail_t, chi2_t, nc, N,
+                                     free_v, dtype)[0],
+            lambda: bundle,
+        )
         chi2_n = jnp.where(accept, chi2_t, chi2)
         lam_dec = lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
         lam_n = jnp.where(accept, lam_dec, lam * nu).astype(dtype)

@@ -143,7 +143,8 @@ def raycast_city_sequence(n_frames=10, seed=0, speed=3.0, dt=0.1,
                           world: Optional[CityWorld] = None,
                           model: LidarModel = LidarModel(),
                           sensor_height=1.8, trajectory="forward",
-                          turn_frames=None):
+                          turn_frames=None,
+                          gps_noise_std=0.0, gps_walk_std=0.0):
     """Like kitti.synthetic_city_sequence but with raycast scans.
 
     Returns (world, [Frame]) — same Frame records (stamp, points,
@@ -159,6 +160,7 @@ def raycast_city_sequence(n_frames=10, seed=0, speed=3.0, dt=0.1,
     world, frames = synthetic_city_sequence(
         n_frames=n_frames, seed=seed, speed=speed, dt=dt, world=world,
         trajectory=trajectory, turn_frames=turn_frames,
+        gps_noise_std=gps_noise_std, gps_walk_std=gps_walk_std,
     )
     for k, fr in enumerate(frames):
         fr.points = raycast_scan(world, fr.gt_pose, sensor_height, model,

@@ -45,6 +45,19 @@ class FloorDetectionConfig:
     n_hypotheses: int = 512
     capacity: int = 32768
     chunk: int = 2048
+    # static capacity of the height-clipped band the normal filter +
+    # RANSAC run on. The clip keeps only points within +-clip_range of
+    # the floor (a few thousand of a 16-32k scan), but without a
+    # re-pack the kNN normals pass still pays the FULL input capacity —
+    # measured 265 ms/frame in the hdl e2e, the pipeline's max stage.
+    # Overflow beyond this capacity drops the (stable-order) tail;
+    # 0 disables the truncation.
+    clip_capacity: int = 8192
+    # neighbor source for the normal filter: auto = the masked-moments
+    # dense radius path on TPU (the same choice PrefilteringConfig
+    # makes; no serialized gathers), exact brute kNN elsewhere
+    neighbor_method: str = "auto"         # auto | brute | voxel | dense
+    normal_radius: float = 0.75
 
 
 def _build_fn(cfg: FloorDetectionConfig):
@@ -66,9 +79,21 @@ def _build_fn(cfg: FloorDetectionConfig):
             c, jnp.asarray([0.0, 0.0, 1.0, cfg.sensor_height - cfg.height_clip_range]),
             negative=True,
         )
+        # re-pack the clipped band to its own (small) static capacity:
+        # every downstream pass (normals, RANSAC) then costs O(band)
+        # instead of O(full scan capacity)
+        c = compact(c)
+        if cfg.clip_capacity and cfg.clip_capacity < c.points.shape[0]:
+            c = MaskedCloud(c.points[: cfg.clip_capacity],
+                            c.mask[: cfg.clip_capacity])
         if cfg.use_normal_filtering:
+            method = cfg.neighbor_method
+            if method == "auto":
+                method = ("dense" if jax.default_backend() in ("tpu", "axon")
+                          else "brute")
             n, valid = estimate_normals(
-                c, k=10, viewpoint=(0.0, 0.0, cfg.sensor_height), chunk=cfg.chunk
+                c, k=10, viewpoint=(0.0, 0.0, cfg.sensor_height),
+                chunk=cfg.chunk, method=method, radius=cfg.normal_radius,
             )
             keep = jnp.abs(n[:, 2]) > np.cos(np.deg2rad(cfg.normal_filter_thresh))
             c = MaskedCloud(c.points, c.mask & valid & keep)
