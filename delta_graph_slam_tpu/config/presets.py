@@ -130,8 +130,14 @@ def _hdl_preset(name="hdl", **over) -> PipelineConfig:
             outlier_removal_method=over.pop("outlier_removal_method", "NONE"),
         ),
         odometry=OdometryConfig(
-            registration=reg, keyframe_delta_trans=0.25,
-            keyframe_delta_angle=0.15, keyframe_delta_time=1.0,
+            # the hdl launch files override the nodelet's 0.25/0.15/1.0
+            # code defaults (scan_matching_odometry_nodelet.cpp:73-75)
+            # to 1.0/1.0/10000 (hdl_graph_slam_400.launch:49-51) — the
+            # code defaults swap the odometry keyframe EVERY frame at
+            # driving speed, paying a full target-model rebuild per scan
+            # (measured 190 ms/frame vs delta's 74)
+            registration=reg, keyframe_delta_trans=1.0,
+            keyframe_delta_angle=1.0, keyframe_delta_time=10000.0,
             transform_thresholding=False, downsample_method="NONE",
         ),
         floor=floor,

@@ -91,9 +91,15 @@ class HdlBackendConfig:
     # chain backend = direct df BCR + hub elimination (graph/hub_solve.py):
     # the floor plane is a hub vertex every keyframe shares an edge with,
     # which the CG backend demonstrably under-converges on (NOTES_r2) and
-    # edge-based Woodbury cannot absorb (K grows with the trajectory)
+    # edge-based Woodbury cannot absorb (K grows with the trajectory).
+    # chi2_rel_tol 1e-6: the 3 s cycle re-solves a graph that is already
+    # at (or a few keyframes away from) its optimum — without a relative-
+    # gain exit the LM burns the full per-cycle budget accepting
+    # float-noise improvements (measured 100 iters x 13 ms on a
+    # converged 16-keyframe graph; the warm solve needs ~6).
     solver: SolverConfig = dataclasses.field(
-        default_factory=lambda: SolverConfig(backend="chain"))
+        default_factory=lambda: SolverConfig(backend="chain",
+                                             chi2_rel_tol=1e-6))
     inf: InformationMatrixCalculator = dataclasses.field(
         default_factory=InformationMatrixCalculator
     )
@@ -409,7 +415,7 @@ class HdlBackend:
         self.keyframes.extend(self.new_keyframes)
         self.new_keyframes = []
 
-        with self.timer.stage("optimize"):
+        with self.timer.stage("optimize_pack"):
             vc = self.cfg.solver_v_capacity or None
             g = self.graph.to_arrays(
                 v_capacity=vc,
@@ -421,6 +427,7 @@ class HdlBackend:
                 max_iterations=min(self.cfg.solver.max_iterations,
                                    self.cfg.g2o_solver_num_iterations),
             )
+        with self.timer.stage("optimize"):
             # warm start is implicit: graph.poses carries the previous
             # cycle's optimum (update_from below), mirroring g2o's
             # persistent SparseOptimizer across the 3 s timer cycles
@@ -430,6 +437,8 @@ class HdlBackend:
                 g, level=0, config=cfg,
                 offrank_floor=self.cfg.solver_offrank_capacity,
             )
+            stats["lm_iters"] = int(s.iterations)
+        with self.timer.stage("optimize_fetch"):
             self.graph.update_from(
                 np.asarray(poses), np.asarray(planes), np.asarray(points)
             )
