@@ -34,6 +34,45 @@ from ..lines import LineBasedScanmatcher, LineScanmatcherConfig, transform_lines
 from ..lines.overlap import are_buildings_overlapped
 
 _overlap_batch = jax.jit(are_buildings_overlapped)
+
+
+@jax.jit
+def _pair_map_lines(ba, bb, bm, bpose, est, ii, jj):
+    """Map-frame building outlines for P (i, j) pairs, ONE dispatch.
+
+    ba/bb (B, L, 2) raw download-frame endpoints, bm (B, L) masks,
+    bpose (B, 3) fixed OSM poses, est (B, 3) current graph estimates,
+    ii/jj (P,) pair indices. Re-poses every building by
+    building_map_transform (rotation about the building center,
+    building.cpp:7-13) IN-program and gathers the pair tensors — the
+    eager per-pair jnp.stack this replaces marshalled O(pairs) device
+    arguments through the tunnel per de-overlap round (measured 412 ms
+    per overlap test at 14 buildings)."""
+    th = est[:, 2] - bpose[:, 2]
+    c, s = jnp.cos(th), jnp.sin(th)
+    R = jnp.stack([jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], -2)
+    t = est[:, :2] - jnp.einsum("bij,bj->bi", R, bpose[:, :2])
+    ta = jnp.einsum("bij,blj->bli", R, ba) + t[:, None, :]
+    tb = jnp.einsum("bij,blj->bli", R, bb) + t[:, None, :]
+    return (ta[ii], tb[ii], bm[ii], est[ii][:, :2],
+            ta[jj], tb[jj], bm[jj], est[jj][:, :2])
+
+
+@jax.jit
+def _gather_pair_lines(ba, bb, bm, bidx, ktree, kidx, live):
+    """(src, tgt) LineSegments stacks for the align_local pair batch:
+    building outlines gathered from the canonical raw stack, keyframe
+    scan lines gathered from the stacked unique-keyframe tree. live (P,)
+    masks the pow2 padding slots off."""
+    from ..ops.ransac import LineSegments
+
+    z = jnp.zeros(bm[bidx].shape, ba.dtype)
+    src = LineSegments(a=ba[bidx], b=bb[bidx], mean_error=z, std_sigma=z,
+                       max_error=z, min_error=z,
+                       mask=bm[bidx] & live[:, None])
+    tgt = jax.tree_util.tree_map(lambda x: x[kidx], ktree)
+    tgt = tgt._replace(mask=tgt.mask & live[:, None])
+    return src, tgt
 from ..buildings import BuildingManager, OverpassProvider
 from ..pipeline import (
     InformationMatrixCalculator,
@@ -483,34 +522,39 @@ class DeltaBackend:
                 pairs.append((kf, b, odom, bpose_inv, bpose_inv @ odom3d))
 
         if pairs:
-            caps = {p[1].lines.a.shape[0] for p in pairs}
-            assert len(caps) == 1, (
-                "align_local_batch needs a uniform building line capacity; "
-                f"got {sorted(caps)} (provider must pad to one capacity)"
-            )
             B = len(pairs)
             P = 1 << max(B - 1, 0).bit_length()
-            empty = pairs[0][1].lines._replace(
-                mask=jnp.zeros_like(pairs[0][1].lines.mask)
+            # building side: gather raw outlines from the canonical
+            # device stack by pair index; keyframe side: stack the few
+            # UNIQUE keyframes' line trees once and gather per pair —
+            # the eager per-pair jnp.stack this replaces marshalled
+            # O(pairs) device arguments per cycle (~0.5 s at 64 pairs)
+            bs = list(self.buildings_manager.buildings)
+            ba, bb_, bm, _bp = self._building_stack(bs)
+            pos_of = {id(b): k for k, b in enumerate(bs)}
+            bidx = [pos_of[id(p[1])] for p in pairs] + [0] * (P - B)
+            kfs, kpos = [], {}
+            for p in pairs:
+                if id(p[0]) not in kpos:
+                    kpos[id(p[0])] = len(kfs)
+                    kfs.append(p[0])
+            kidx = [kpos[id(p[0])] for p in pairs] + [0] * (P - B)
+            ktree = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[k.global_alignment.not_aligned_lines for k in kfs]
             )
-            empty_k = pairs[0][0].global_alignment.not_aligned_lines._replace(
-                mask=jnp.zeros_like(
-                    pairs[0][0].global_alignment.not_aligned_lines.mask
-                )
-            )
-            src_list = [p[1].lines for p in pairs] + [empty] * (P - B)
-            tgt_list = ([p[0].global_alignment.not_aligned_lines
-                         for p in pairs] + [empty_k] * (P - B))
             Ts = np.stack([p[3] for p in pairs]
                           + [np.eye(4)] * (P - B)).astype(np.float32)
             Tt = np.stack([p[4] for p in pairs]
                           + [np.eye(4)] * (P - B)).astype(np.float32)
-            stack = lambda lst: jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *lst
-            )
             with self.timer.stage("align_local"):
+                src, tgt = _gather_pair_lines(
+                    ba, bb_, bm, jnp.asarray(np.asarray(bidx, np.int32)),
+                    ktree, jnp.asarray(np.asarray(kidx, np.int32)),
+                    jnp.asarray(np.arange(P) < B),
+                )
                 res = self.scanmatcher.align_local_batch(
-                    stack(src_list), stack(tgt_list), Ts, Tt, 0.5
+                    src, tgt, Ts, Tt, 0.5
                 )
                 T_all = np.asarray(res.transformation)
             avg_d = np.asarray(res.fitness.avg_distance)
@@ -569,54 +613,75 @@ class DeltaBackend:
         round at 14 buildings); here every pair's shrunken-polygon test
         runs in a single (P, La, Lb) batch and one bool-vector fetch.
         """
+        bs, idx = self._overlapped_pairs()
+        return [(bs[i], bs[j]) for i, j in idx]
+
+    def _overlapped_pairs(self):
+        """(buildings list, [(i, j) index pairs] of overlapped ones)."""
         if self.buildings_manager is None:
-            return []
+            return [], []
         # snapshot: the cloud_callback thread may append new buildings
         # while the optimizer runs (list() is atomic under the GIL;
         # Building entities are immutable after creation)
         bs = list(self.buildings_manager.buildings)
         if len(bs) < 2:
-            return []
+            return bs, []
         poses = self.poses
-        lines = [b.get_lines(poses) for b in bs]
-        # the batched stack below requires one shared line capacity; pad
-        # up if a provider ever emits per-polygon capacities (make_lines
-        # supports them — ADVICE r2: do not let this become a runtime
-        # shape error)
-        Lmax = max(ln.a.shape[0] for ln in lines)
-        if any(ln.a.shape[0] != Lmax for ln in lines):
-            def _pad_ln(ln):
-                n = Lmax - ln.a.shape[0]
-                if n == 0:
-                    return ln
-                z2 = jnp.zeros((n, 2), ln.a.dtype)
-                return ln._replace(
-                    a=jnp.concatenate([ln.a, z2]),
-                    b=jnp.concatenate([ln.b, z2]),
-                    mask=jnp.concatenate(
-                        [ln.mask, jnp.zeros((n,), ln.mask.dtype)]
-                    ),
-                )
-
-            lines = [_pad_ln(ln) for ln in lines]
-        ests = [np.asarray(b.estimate(poses), np.float32) for b in bs]
+        ba, bb, bm, bp = self._building_stack(bs)
+        est = self._building_estimates(bs, poses, bp.shape[0])
         pairs = [(i, j) for i in range(len(bs)) for j in range(i + 1, len(bs))]
         P = len(pairs)
         # pad to a power of two: few distinct compiles as the city grows
         cap = 1 << max(P - 1, 1).bit_length()
         pad = cap - P
-        ii = [p[0] for p in pairs] + [0] * pad
-        jj = [p[1] for p in pairs] + [0] * pad
-        aa = jnp.stack([lines[k].a for k in ii])
-        ab = jnp.stack([lines[k].b for k in ii])
-        am = jnp.stack([lines[k].mask for k in ii])
-        ba = jnp.stack([lines[k].a for k in jj])
-        bb = jnp.stack([lines[k].b for k in jj])
-        bm = jnp.stack([lines[k].mask for k in jj])
-        ca = jnp.asarray(np.stack([ests[k][:2] for k in ii]), aa.dtype)
-        cb = jnp.asarray(np.stack([ests[k][:2] for k in jj]), aa.dtype)
-        ov = np.asarray(_overlap_batch(aa, ab, am, ca, ba, bb, bm, cb))[:P]
-        return [(bs[i], bs[j]) for (i, j), o in zip(pairs, ov) if o]
+        ii = np.asarray([p[0] for p in pairs] + [0] * pad, np.int32)
+        jj = np.asarray([p[1] for p in pairs] + [0] * pad, np.int32)
+        out8 = _pair_map_lines(ba, bb, bm, bp, jnp.asarray(est),
+                               jnp.asarray(ii), jnp.asarray(jj))
+        ov = np.asarray(_overlap_batch(*out8))[:P]
+        return bs, [p for p, o in zip(pairs, ov) if o]
+
+    def _building_stack(self, bs):
+        """Canonical device stack of raw building outlines (download
+        frame), rebuilt only when the building count crosses a pow2
+        bucket boundary or new buildings arrive. Returns
+        (a (B,L,2), b (B,L,2), mask (B,L), poses (B,3)) jnp arrays."""
+        n = len(bs)
+        cached = getattr(self, "_bstack", None)
+        if cached is not None and cached[0] == n:
+            return cached[1]
+        cap = 1 << max(n - 1, 1).bit_length()
+        L = max(b.lines.a.shape[0] for b in bs)
+        a = np.zeros((cap, L, 2), np.float32)
+        bpts = np.zeros((cap, L, 2), np.float32)
+        m = np.zeros((cap, L), bool)
+        bp = np.zeros((cap, 3), np.float32)
+        for k, b in enumerate(bs):
+            la = np.asarray(b.lines.a)
+            a[k, : len(la)] = la
+            bpts[k, : len(la)] = np.asarray(b.lines.b)
+            m[k, : len(la)] = np.asarray(b.lines.mask)
+            bp[k] = np.asarray(b.pose)
+        out = (jnp.asarray(a), jnp.asarray(bpts), jnp.asarray(m),
+               jnp.asarray(bp))
+        self._bstack = (n, out)
+        return out
+
+    @staticmethod
+    def _building_estimates(bs, poses, cap):
+        est = np.zeros((cap, 3), np.float32)
+        for k, b in enumerate(bs):
+            est[k] = b.estimate(poses)
+        return est
+
+    @staticmethod
+    def _line_stack_of(a, b, mask, zeros):
+        """Batched LineSegments from gathered endpoint tensors (stats
+        zero — building outlines carry no RANSAC fit stats)."""
+        from ..ops.ransac import LineSegments
+
+        return LineSegments(a=a, b=b, mean_error=zeros, std_sigma=zeros,
+                            max_error=zeros, min_error=zeros, mask=mask)
 
     # --------------------------------------------------------- optimization
     def _optimize(self, level):
@@ -625,10 +690,11 @@ class DeltaBackend:
             while vc < len(self.graph.poses):
                 vc *= 2
         chain = self.cfg.solver.backend == "chain"
-        g = self.graph.to_arrays(
-            v_capacity=vc, e_capacity=self.cfg.solver_e_capacity or None,
-            chain_first=chain,
-        )
+        with self.timer.stage("optimize_pack"):
+            g = self.graph.to_arrays(
+                v_capacity=vc, e_capacity=self.cfg.solver_e_capacity or None,
+                chain_first=chain,
+            )
         cfg = dataclasses.replace(
             self.cfg.solver,
             max_iterations=min(self.cfg.solver.max_iterations,
@@ -650,11 +716,13 @@ class DeltaBackend:
     def optimization_step(self) -> dict:
         """The 3 s wall-timer body (:793-927). Returns stats."""
         stats = {}
-        kf_updated = self.flush_keyframe_queue()
+        with self.timer.stage("kf_flush"):
+            kf_updated = self.flush_keyframe_queue()
         if not kf_updated:
             self.read_until_stamp += 5.0
         gps_updated = self.flush_gps_queue()
-        b_updated = self.update_building_nodes()
+        with self.timer.stage("building_nodes"):
+            b_updated = self.update_building_nodes()
         if not (kf_updated | gps_updated | b_updated):
             return stats
 
@@ -696,34 +764,46 @@ class DeltaBackend:
         self.overlap_edge_ids = []
         deoverlap_rounds = 0
         if self.cfg.enable_buildings:
-            stack = lambda lst: jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *lst
-            )
             for _ in range(15):
-                pairs = self.get_overlapped_buildings()
-                if not pairs:
+                with self.timer.stage("overlap_test"):
+                    bs, idx = self._overlapped_pairs()
+                if not idx:
                     break
+                pairs = [(bs[i], bs[j]) for i, j in idx]
                 poses = self.poses
                 with self.timer.stage("align_overlapped"):
                     # ONE device program for all overlapped pairs of the
                     # round (the reference loops align_overlapped_buildings
                     # per pair, delta:873-885); pow2 bucketing reuses
-                    # compiled programs as the pair count varies
+                    # compiled programs as the pair count varies. Map-frame
+                    # pair line stacks come from the canonical device
+                    # stack via _pair_map_lines (one dispatch), not an
+                    # eager O(pairs)-argument jnp.stack.
                     B = len(pairs)
                     P2 = 1 << max(B - 1, 0).bit_length()
-                    la = [A.get_lines(poses) for A, _ in pairs]
-                    lb = [Bb.get_lines(poses) for _, Bb in pairs]
+                    ba_, bb_, bm_, bp_ = self._building_stack(bs)
+                    est = self._building_estimates(bs, poses, bp_.shape[0])
+                    ii = np.asarray([i for i, _ in idx] + [0] * (P2 - B),
+                                    np.int32)
+                    jj = np.asarray([j for _, j in idx] + [0] * (P2 - B),
+                                    np.int32)
+                    (laa, lab, lam_, _, lba, lbb, lbm, _) = _pair_map_lines(
+                        ba_, bb_, bm_, bp_, jnp.asarray(est),
+                        jnp.asarray(ii), jnp.asarray(jj))
+                    if P2 > B:
+                        live = jnp.asarray(
+                            np.arange(P2) < B)[:, None]
+                        lam_ = lam_ & live
+                        lbm = lbm & live
+                    zP = jnp.zeros(lam_.shape, laa.dtype)
+                    la = self._line_stack_of(laa, lab, lam_, zP)
+                    lb = self._line_stack_of(lba, lbb, lbm, zP)
                     pa = np.stack([A.estimate(poses) for A, _ in pairs]
                                   + [np.zeros(3)] * (P2 - B))
                     pb = np.stack([Bb.estimate(poses) for _, Bb in pairs]
                                   + [np.zeros(3)] * (P2 - B))
-                    if P2 > B:
-                        empty = la[0]._replace(
-                            mask=jnp.zeros_like(la[0].mask))
-                        la += [empty] * (P2 - B)
-                        lb += [empty] * (P2 - B)
                     T_all, found = self.scanmatcher.align_overlapped_batch(
-                        stack(la), stack(lb), pa, pb)
+                        la, lb, pa, pb)
                     T_all = np.asarray(T_all, np.float64)
                     found = np.asarray(found)
                 for k, (A, Bb) in enumerate(pairs):
@@ -755,13 +835,14 @@ class DeltaBackend:
                 self.trans_odom2map = se2_compose_np(
                     est, se2_inverse_np(last.odom2d)
                 )
-            self.snapshots = [
-                KeyFrameSnapshot(
-                    pose=kf.estimate(poses), cloud=kf.cloud,
-                    flat_cloud=kf.flat_cloud,
-                )
-                for kf in self.keyframes
-            ]
+            with self.timer.stage("snapshots"):
+                self.snapshots = [
+                    KeyFrameSnapshot(
+                        pose=kf.estimate(poses), cloud=kf.cloud,
+                        flat_cloud=kf.flat_cloud,
+                    )
+                    for kf in self.keyframes
+                ]
         return stats
 
     # ------------------------------------------------------------- export
