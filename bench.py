@@ -953,17 +953,20 @@ def _se3_plane_cpu_linearize(x, plane, pe, meas, h=1e-6):
     return r, Jp, Jl
 
 
-def _build_bench_graph_se3(n_nodes, rng_seed=7, plane_every=4):
-    """hdl-style SLAM graph: two-lap 3-D circular trajectory with noisy
-    SE3 odometry (drift in all 6 dof), lap loop closures (Huber), one
-    floor-plane hub vertex with an EdgeSE3Plane every ``plane_every``
+def _build_bench_graph_se3(n_nodes, rng_seed=7, plane_every=4, n_laps=2):
+    """hdl-style SLAM graph: ``n_laps``-lap 3-D circular trajectory with
+    noisy SE3 odometry (drift in all 6 dof), lap loop closures (Huber),
+    one floor-plane hub vertex with an EdgeSE3Plane every ``plane_every``
     keyframes (the reference wires the detected floor to ONE
     g2o::VertexPlane), and a couple of xyz priors. Vertices initialize
-    by integrating the odometry. Returns (builder, gt_poses7)."""
+    by integrating the odometry. n_laps=2 is the cold strongly-nonconvex
+    benchmark shape; the warm incremental protocol uses more laps (loops
+    activate throughout — the urban-session shape, mirroring
+    _build_bench_graph's n_laps). Returns (builder, gt_poses7)."""
     from delta_graph_slam_tpu.graph import SE3GraphBuilder
 
     rng = np.random.default_rng(rng_seed)
-    lap = n_nodes // 2
+    lap = n_nodes // n_laps
     dyaw = 2.0 * np.pi / lap
 
     def yaw_pose(k):
@@ -1002,9 +1005,10 @@ def _build_bench_graph_se3(n_nodes, rng_seed=7, plane_every=4):
         b.add_se3_node(init[k], fixed=(k == 0))
     for k in range(n_nodes - 1):
         b.add_se3_edge(k, k + 1, meas[k], info6)
-    for k in range(0, lap - 1, 100):
-        m = noisy(rel7(gt[k], gt[k + lap]), 0.005, 0.001)
-        b.add_se3_edge(k, k + lap, m, info6, kernel="Huber", delta=1.0)
+    for left in range(0, n_nodes - lap, lap):
+        for k in range(left, left + lap - 1, 100):
+            m = noisy(rel7(gt[k], gt[k + lap]), 0.005, 0.001)
+            b.add_se3_edge(k, k + lap, m, info6, kernel="Huber", delta=1.0)
     # floor plane hub: z=0 detected in each keyframe's gt sensor frame
     p0 = b.add_plane_node([0.0, 0.0, 1.0, 0.0])
     info3 = np.diag([1.0, 1.0, 10.0])
@@ -1070,11 +1074,22 @@ def bench_pose_graph_se3_incremental(n_nodes=4096, chunk=64, lm_iters=8):
         matrix_to_pose7, pose7_to_matrix,
     )
 
-    full, gt = _build_bench_graph_se3(n_nodes)
+    full, gt = _build_bench_graph_se3(n_nodes, n_laps=8)
     g_full = full.to_arrays(dtype=np.float32)
     jax.block_until_ready(g_full.poses)
-    cfg = SolverConfig(backend="chain", max_iterations=lm_iters)
+    cfg = SolverConfig(backend="chain", max_iterations=lm_iters,
+                       chi2_rel_tol=1e-6)
     nV = g_full.poses.shape[0]
+    # fixed Woodbury capacity from the FULL graph's loop count: without
+    # it optimize_se3 re-buckets chain_offrank_capacity as loops
+    # activate cycle by cycle, and every pow2 bump is a fresh XLA
+    # program (~60 s through the remote compile helper) INSIDE the
+    # timed window — exactly the recompile class the hdl backend's
+    # solver_offrank_capacity floor exists for
+    _ei = np.asarray(g_full.edges.i)
+    _ej = np.asarray(g_full.edges.j)
+    _em = np.asarray(g_full.edges.mask)
+    off_floor = max(4, int(np.sum(_em & (np.abs(_ei - _ej) > 1))))
 
     e_hi = np.maximum(np.asarray(g_full.edges.i), np.asarray(g_full.edges.j))
     e_m = np.asarray(g_full.edges.mask)
@@ -1119,7 +1134,7 @@ def bench_pose_graph_se3_incremental(n_nodes=4096, chunk=64, lm_iters=8):
 
     # warm-up compile with the first chunk
     (p0, _, _), _ = optimize_se3(sub(chunk, g_full.poses), level=0,
-                                 config=cfg)
+                                 config=cfg, offrank_floor=off_floor)
     float(extend(p0, jnp.asarray(chunk))[0, 0])  # compile + sync
 
     poses = g_full.poses
@@ -1129,8 +1144,8 @@ def bench_pose_graph_se3_incremental(n_nodes=4096, chunk=64, lm_iters=8):
     t0 = time.perf_counter()
     for nv in range(chunk, n_nodes + 1, chunk):
         gi = sub(nv, poses)._replace(planes=planes, points=points)
-        (poses, planes, points), stats = optimize_se3(gi, level=0,
-                                                      config=cfg)
+        (poses, planes, points), stats = optimize_se3(
+            gi, level=0, config=cfg, offrank_floor=off_floor)
         if nv + chunk <= n_nodes:
             poses = extend(poses, jnp.asarray(nv))
         n_cycles += 1
@@ -1140,11 +1155,13 @@ def bench_pose_graph_se3_incremental(n_nodes=4096, chunk=64, lm_iters=8):
     # cold chi2 of the full graph + converged continuation (untimed)
     _, st_cold = optimize_se3(
         sub(n_nodes, g_full.poses), level=0,
-        config=dataclasses.replace(cfg, max_iterations=0))
+        config=dataclasses.replace(cfg, max_iterations=0),
+        offrank_floor=off_floor)
     chi2_cold = float(st_cold.chi2_initial)
     gi = sub(n_nodes, poses)._replace(planes=planes, points=points)
     _, st_conv = optimize_se3(
-        gi, level=0, config=dataclasses.replace(cfg, max_iterations=64))
+        gi, level=0, config=dataclasses.replace(cfg, max_iterations=64),
+        offrank_floor=off_floor)
     chi2_conv = float(st_conv.chi2_final)
     return (dt * 1000.0 / n_cycles, n_cycles, final_chi2,
             final_chi2 / max(chi2_cold, 1e-9),
