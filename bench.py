@@ -1053,7 +1053,7 @@ def bench_pose_graph_se3(n_nodes=4096, max_iters=128):
     return dt * 1000.0 / iters, iters, float(stats.chi2_final), ate
 
 
-def bench_pose_graph_se3_incremental(n_nodes=4096, chunk=64, lm_iters=8):
+def bench_pose_graph_se3_incremental(n_nodes=4096, chunk=64, lm_iters=16):
     """SE3 warm-started incremental regime — the hdl backend's actual
     operating point (VERDICT r4 missing #1): g2o keeps ONE persistent
     SparseOptimizer across the 3 s timer cycles so every optimize()
@@ -1067,8 +1067,15 @@ def bench_pose_graph_se3_incremental(n_nodes=4096, chunk=64, lm_iters=8):
 
     Quality contract mirrors bench_pose_graph_incremental: the final
     warm chi2 must be a tiny fraction of the cold-init chi2 AND within
-    ~2x of a fully converged continuation. Returns (ms_per_cycle,
-    n_cycles, final_chi2, chi2_ratio_vs_cold, excess_vs_converged)."""
+    ~2x of a fully converged continuation. lm_iters=16: the SE3 manifold
+    needs ~2x the per-cycle steps SE2 does — 8 leaves each cycle
+    mid-descent and the unconverged error COMPOUNDS across cycles
+    (measured ratio_vs_cold 1.4 at 8 iters vs 0.0 / excess 1.0 at 16).
+    NB the cycle cost here is the 4k BENCH scale at 64 new keyframes
+    per cycle; the hdl backend's real operating scale (capacity 256,
+    <=10 keyframes/cycle) measures 116 ms per warm solve.
+    Returns (ms_per_cycle, n_cycles, final_chi2, chi2_ratio_vs_cold,
+    excess_vs_converged)."""
     from delta_graph_slam_tpu.graph import SolverConfig, optimize_se3
     from delta_graph_slam_tpu.graph.se3_graph import (
         matrix_to_pose7, pose7_to_matrix,

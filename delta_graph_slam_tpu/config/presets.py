@@ -116,18 +116,35 @@ def _hdl_preset(name="hdl", **over) -> PipelineConfig:
     hdl = HdlBackendConfig(
         registration=reg,
         enable_floor=over.pop("enable_floor", True),
-        enable_gps=over.pop("enable_gps", True),
+        # every hdl launch defaults enable_gps to FALSE
+        # (hdl_graph_slam_400.launch:6); the GPS-dataset preset
+        # (hdl_501) opts in. The r5 preset had it ON at stddev 10000 —
+        # and on a loop-free odometry chain the global modes have zero
+        # stiffness, so even a 1e-4-weight absolute prior fully pins
+        # the trajectory's shape to the (noisy) GPS track: measured
+        # hdl e2e ATE 2.0 m with it vs 1.1 without.
+        enable_gps=over.pop("enable_gps", False),
         enable_imu_acceleration=over.pop("enable_imu_acceleration", False),
         enable_imu_orientation=over.pop("enable_imu_orientation", False),
-        gps_edge_stddev_xy=over.pop("gps_edge_stddev_xy", 10000.0),
+        # launch values for when GPS is enabled (…_400.launch:124-125)
+        gps_edge_stddev_xy=over.pop("gps_edge_stddev_xy", 20.0),
+        gps_edge_stddev_z=over.pop("gps_edge_stddev_z", 5.0),
     )
     return PipelineConfig(
         name=name,
         prefiltering=PrefilteringConfig(
-            use_distance_filter=True, distance_near_thresh=0.5,
+            # every hdl launch runs the RADIUS outlier filter (0.5 m /
+            # min 2; e.g. hdl_graph_slam_400.launch:36-41) — the r5
+            # preset wrongly defaulted to NONE, and the un-cleaned range
+            # noise measurably degrades FAST_GICP (hdl e2e trajectory
+            # 5% scale-short vs delta's 0.8% on identical scans)
+            use_distance_filter=True,
+            distance_near_thresh=over.pop("distance_near_thresh", 0.1),
             distance_far_thresh=100.0, downsample_method="VOXELGRID",
             downsample_resolution=0.1,
-            outlier_removal_method=over.pop("outlier_removal_method", "NONE"),
+            outlier_removal_method=over.pop("outlier_removal_method",
+                                            "RADIUS"),
+            radius_radius=0.5, radius_min_neighbors=2,
         ),
         odometry=OdometryConfig(
             # the hdl launch files override the nodelet's 0.25/0.15/1.0
@@ -152,11 +169,15 @@ PRESETS = {
     "hdl_400": lambda: _hdl_preset("hdl_400", sensor_height=2.0),
     # hdl_graph_slam_501.launch: indoor + GPS/NMEA
     "hdl_501": lambda: _hdl_preset(
-        "hdl_501", gps_edge_stddev_xy=20.0, enable_floor=True
+        "hdl_501", gps_edge_stddev_xy=20.0, enable_floor=True,
+        enable_gps=True,            # the GPS/NMEA dataset preset
+        distance_near_thresh=0.5,   # hdl_graph_slam_501.launch:31
     ),
     # hdl_graph_slam_imu.launch: gravity + orientation edges
     "hdl_imu": lambda: _hdl_preset(
-        "hdl_imu", enable_imu_acceleration=True, enable_imu_orientation=True
+        "hdl_imu", enable_imu_acceleration=True,
+        enable_imu_orientation=True,
+        distance_near_thresh=0.2,   # hdl_graph_slam_imu.launch:42
     ),
 }
 
